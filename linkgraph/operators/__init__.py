@@ -1,0 +1,26 @@
+"""Graph algorithm kernels — each an iterative DataFrame join-aggregate pass.
+
+Every reference kernel is "per-edge map → per-vertex aggregate → state
+update → convergence test" (SURVEY.md §2.3); here each iteration is one
+Catalyst-planned job: ``edges.join(state, 'src').groupBy('dst').agg(...)``
+merged back into the vertex-state DataFrame.
+"""
+
+from linkgraph.operators.bfs import bfs
+from linkgraph.operators.labelprop import label_propagation
+from linkgraph.operators.pagerank import pagerank
+from linkgraph.operators.spmv import spmv
+from linkgraph.operators.sssp import sssp
+from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
+from linkgraph.operators.wcc import wcc
+
+__all__ = [
+    "bfs",
+    "label_propagation",
+    "pagerank",
+    "spmv",
+    "sssp",
+    "triangle_count",
+    "triangles_per_vertex",
+    "wcc",
+]

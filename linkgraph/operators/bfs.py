@@ -1,0 +1,72 @@
+"""BFS — frontier-driven level traversal with a direction/size heuristic.
+
+Reference semantics (/root/reference/bfs_simple.c): seed root, then per
+level claim unvisited out-neighbors of the frontier (bfs_push,
+bfs_simple.c:121-134). We report LEVELS (root = 0) rather than the
+reference's 1-based dist array (dist[ROOT]=1, bfs_simple.c:247) — a fixed
++1 offset; parent trees are intentionally NOT reported because the
+reference's parent choice is CAS-race nondeterministic (bfs_numa.c:257)
+while our ``groupBy(dst).agg(min(src))`` parents are deterministic.
+
+The reference's push↔pull switch at 5% of edges (bfs_simple.c:191-197) is
+a *physical* choice; its Spark analog is broadcast-vs-shuffle join of the
+frontier. We hint ``broadcast(frontier)`` while the frontier is small
+(small frontier = push over a worklist) and let the planner fall back to a
+shuffle join when it grows (large frontier = pull/dense pass); AQE makes
+the same call from runtime stats when sizes are off-estimate.
+
+Returned vertices: REACHED ones only (id, dist) — the sparse contract;
+unreached vertices are absent rather than carrying the reference's 0
+sentinel (bfs_simple.c:49-56 counts dist != 0).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+
+def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def bfs(
+    graph: Graph,
+    root: int,
+    max_iterations: int = 10_000,
+    broadcast_frontier_max: int = 1_000_000,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Returns DataFrame(id: long, dist: long) for vertices reachable from
+    ``root`` along DIRECTED edges, dist = hop count (root = 0)."""
+    checkpoint = checkpointer or _default_checkpointer
+    edges = graph.edges.select("src", "dst")
+
+    visited = graph.spark.createDataFrame([(int(root), 0)], "id long, dist long")
+    visited = checkpoint(visited, 0)
+    frontier = visited.select("id")
+    frontier_size = 1
+
+    for level in range(1, max_iterations + 1):
+        f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
+        nxt = (
+            edges.join(f, edges["src"] == f["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        nxt = checkpoint(nxt, level)
+        frontier_size = nxt.count()
+        if frontier_size == 0:
+            break
+        visited = checkpoint(
+            visited.unionByName(nxt.select("id", F.lit(level).cast("long").alias("dist"))),
+            level,
+        )
+        frontier = nxt
+
+    return visited

@@ -1,0 +1,70 @@
+"""Synchronous label propagation (community detection).
+
+Not in the reference binary set, but named by the north rule as the
+natural generalization of WCC's writeMin propagation (wcc.c:30-42): where
+WCC takes the MIN neighbor label, LP takes the MOST FREQUENT neighbor
+label. The reference's CAS races (nondeterministic update order) are
+replaced with a total-order tie-break — ties go to the smaller label — so
+output is deterministic and exactly testable (north rule: exact match).
+
+Semantics (pinned, mirrored by the SQL oracle and the NumPy oracle):
+- undirected view (symmetrized edges, multi-edges count as multiple votes);
+- labels[i] = i initially;
+- synchronous rounds: every vertex with ≥1 neighbor takes
+  argmax_label count(neighbor votes), ties → min label; isolated vertices
+  keep their label;
+- fixed round count (default 10) — synchronous LP can oscillate on
+  bipartite structures, so a fixed budget is the deterministic choice.
+
+Physical notes: one shuffle to join labels onto edges (state → edges, the
+small side moves), one partial/final count aggregate on (dst, label), and
+the per-vertex argmax is ``max(struct(cnt, -label))`` — an aggregate, NOT
+a window, so it rides the same hash-aggregate shuffle with map-side
+combine instead of a sort-based window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+
+def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def label_propagation(
+    graph: Graph,
+    iterations: int = 10,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Returns DataFrame(id: long, label: long)."""
+    checkpoint = checkpointer or _default_checkpointer
+    sym = graph.symmetrized().edges.select("src", "dst")
+
+    labels = graph.vertices().select("id", F.col("id").alias("label"))
+    labels = checkpoint(labels, 0)
+
+    for it in range(1, iterations + 1):
+        votes = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt, -label): max count, ties broken by smaller label
+        winner = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("w"))
+            .select(F.col("dst"), (-F.col("w.nl")).alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, labels["id"] == winner["dst"], "left")
+            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+        )
+        labels = checkpoint(labels, it)
+
+    return labels

@@ -1,0 +1,114 @@
+"""PageRank as an iterative join-aggregate dataflow.
+
+Reference semantics replicated exactly (required for the 1e-6 parity
+oracle; see /root/reference/pagerank_simple.c):
+
+- damping d = 0.85                      (pagerank_simple.c:4)
+- init rank = 0.15 for every vertex     (pagerank_simple.c:95 — NOT 1/N)
+- per-iteration: rank'[v] = (1-d)/N + d * Σ_{(u,v)∈E_in} rank[u]/outdeg(u)
+                                        (pagerank_simple.c:62-84, 119-123)
+- NO dangling-mass redistribution       (absent from all pr_algo_* variants)
+- parity mode: fixed 10 iterations      (pagerank_simple.c:115)
+- convergence mode: iterate until L∞(new-old) < tol (north rule)
+
+Push (pr_algo_push, atomics) and pull (pr_algo_pull) collapse into the SAME
+DataFrame plan — ``groupBy(dst).sum()`` — because the shuffle replaces
+shared-memory atomics; there is no push/pull distinction to preserve.
+
+Physical plan per iteration (what .explain should show):
+- the persisted ``out_normalized_edges`` side is NOT re-shuffled (its
+  repartition(src) output partitioning is reused);
+- the small rank state is shuffled to the edges (state ≪ edges);
+- contributions aggregate with map-side partial sum (Catalyst partial/final
+  hash aggregate = the reference's per-thread buffered writeAdd,
+  buffer.c:267-297);
+- hub-vertex skew on ``dst`` is absorbed by the partial aggregate (each
+  input partition pre-sums its share of a hub's mass before the shuffle),
+  with AQE skew handling as belt-and-braces.
+
+Lineage control: iterative plans grow unboundedly unless truncated — each
+iteration's state is cut via ``checkpointer`` (default: eager
+localCheckpoint; the production runner writes/reads the checkpoint store
+instead, which also provides resume).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+DAMPING = 0.85
+INIT_RANK = 0.15  # pagerank_simple.c:95 — reference inits prev to 0.15, not 1/N
+
+
+def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def pagerank(
+    graph: Graph,
+    iterations: int = 10,
+    damping: float = DAMPING,
+    init_rank: float = INIT_RANK,
+    tol: float | None = None,
+    max_iterations: int = 100,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Run PageRank; returns DataFrame(id: long, rank: double).
+
+    ``tol=None`` → parity mode: exactly ``iterations`` rounds (reference's
+    fixed-10 loop). ``tol`` set → convergence mode: iterate until
+    ``max|new-old| < tol`` or ``max_iterations``.
+    """
+    checkpoint = checkpointer or _default_checkpointer
+    n = graph.num_vertices
+    if n == 0:
+        raise ValueError("pagerank: graph has no vertices")
+    teleport = (1.0 - damping) / n  # adding_constant, pagerank_simple.c:88
+    norm_edges = graph.out_normalized_edges()
+
+    ranks = graph.vertices().select("id", F.lit(float(init_rank)).alias("rank"))
+    ranks = checkpoint(ranks, 0)
+
+    total_rounds = iterations if tol is None else max_iterations
+    for it in range(1, total_rounds + 1):
+        contribs = (
+            norm_edges.join(ranks, norm_edges["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                (F.col("rank") * F.col("inv_out_deg")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        new_ranks = (
+            graph.vertices()
+            .join(contribs, F.col("id") == F.col("dst"), "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        new_ranks = checkpoint(new_ranks, it)
+
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+
+    return ranks

@@ -1,0 +1,82 @@
+"""Single-source shortest paths — frontier Bellman-Ford (delta-free).
+
+Reference semantics (/root/reference/sssp_pushpull.c): writeMin relaxation
+from the active frontier (sssp_algo, sssp_pushpull.c:39-56), self-loops
+skipped (the ``dst_id != n_id`` guard at sssp_pushpull.c:47), iterate until
+no distance improves. NOTE the reference's push path hardcodes weight +1
+(sssp_pushpull.c:46) while the pull path uses real weights
+(sssp_pushpull.c:81) — we implement the WEIGHTED semantics (pull), with
+weights defaulting to the reference's synthetic ``src%10 + dst%10``
+(init_all.c:661-667). The racy ``writeMin`` becomes
+``groupBy(dst).agg(min)``; the improved-rows set is the next frontier
+(the reference's worklist re-entry).
+
+Distances: root = 0; only reached vertices returned. Parent trees are not
+reported (nondeterministic in the reference); the validation invariant
+dist[parent] ≤ dist (sssp_pushpull.c:57-68) is checked in tests via the
+relaxed-edge inequality dist[v] ≤ dist[u] + w(u,v) for all edges from
+reached u — the fixpoint property itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+
+def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def sssp(
+    graph: Graph,
+    root: int,
+    max_iterations: int = 10_000,
+    broadcast_frontier_max: int = 1_000_000,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Returns DataFrame(id: long, dist: double), reached vertices only."""
+    checkpoint = checkpointer or _default_checkpointer
+    edges = graph.edges.select("src", "dst", "weight").filter(
+        F.col("src") != F.col("dst")  # sssp_pushpull.c:47
+    )
+
+    dist = graph.spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
+    dist = checkpoint(dist, 0)
+    frontier = dist
+    frontier_size = 1
+
+    for it in range(1, max_iterations + 1):
+        f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
+        relax = (
+            edges.join(f, edges["src"] == f["id"])
+            .select(F.col("dst"), (F.col("dist") + F.col("weight")).alias("nd"))
+            .groupBy("dst")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            dist.join(relax, dist["id"] == relax["dst"], "full_outer")
+            .select(
+                F.coalesce(dist["id"], relax["dst"]).alias("id"),
+                F.col("dist").alias("old_dist"),
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                ).alias("dist"),
+            )
+        )
+        merged = checkpoint(merged, it)
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist"))
+        ).select("id", "dist")
+        frontier_size = improved.count()
+        dist = merged.select("id", "dist")
+        if frontier_size == 0:
+            break
+        frontier = improved
+
+    return dist

@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship PageRank; ``queries()`` exposes every
+implemented kernel over the canonical derived link graph
+(linkgraph/derive.py: DISTINCT (l_orderkey % 2048 → l_partkey % 2048)
+from lineitem); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+(linkgraph/oracle_sql.py — unrolled/recursive CTE formulations).
+
+Floats are rounded to 6 dp on BOTH sides (summation order differs between
+engines); discrete outputs match exactly. Fine-grained 1e-6+ parity is
+asserted in tests/ against NumPy oracles of the exact C recurrences.
 """
 
 from __future__ import annotations
@@ -12,27 +16,94 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph import oracle_sql as osql
+from linkgraph.derive import link_graph
+from linkgraph.operators import (
+    bfs,
+    label_propagation,
+    pagerank,
+    spmv,
+    sssp,
+    triangle_count,
+    wcc,
+)
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = link_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank (reference parity mode, 10 iterations) on the
+    sf0.001-derived link graph."""
+    g = _graph(spark, "/root/testdata/sf0.001")
+    return pagerank(g, iterations=10).select("id", F.round("rank", 6).alias("pr"))
+
+
+# --------------------------------------------------------------- queries
+def _q_degrees(spark, sf_dir):
+    return _graph(spark, sf_dir).degrees()
+
+
+def _q_pagerank10(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return pagerank(g, iterations=10).select("id", F.round("rank", 6).alias("pr"))
+
+
+def _q_wcc(spark, sf_dir):
+    return wcc(_graph(spark, sf_dir))
+
+
+def _q_labelprop5(spark, sf_dir):
+    return label_propagation(_graph(spark, sf_dir), iterations=5)
+
+
+def _q_triangles(spark, sf_dir):
+    return triangle_count(_graph(spark, sf_dir))
+
+
+def _q_bfs(spark, sf_dir):
+    return bfs(_graph(spark, sf_dir), root=0)
+
+
+def _q_sssp(spark, sf_dir):
+    return sssp(_graph(spark, sf_dir), root=0).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_spmv(spark, sf_dir):
+    return spmv(_graph(spark, sf_dir)).select("id", F.round("y", 6).alias("y"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "degrees": _q_degrees,
+        "pagerank10": _q_pagerank10,
+        "wcc": _q_wcc,
+        "labelprop5": _q_labelprop5,
+        "triangles": _q_triangles,
+        "bfs": _q_bfs,
+        "sssp": _q_sssp,
+        "spmv": _q_spmv,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "degrees": osql.degrees_sql(),
+        "pagerank10": osql.pagerank_sql(10),
+        "wcc": osql.wcc_sql(),
+        "labelprop5": osql.labelprop_sql(5),
+        "triangles": osql.triangles_sql(),
+        "bfs": osql.bfs_sql(root=0),
+        "sssp": osql.sssp_sql(root=0),
+        "spmv": osql.spmv_sql(),
+    }

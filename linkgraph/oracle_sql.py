@@ -1,0 +1,161 @@
+"""ANSI-SQL (DuckDB) oracles for every gate query.
+
+Each function returns a self-contained SQL string over the pre-registered
+parquet views (lineitem etc.) that computes the SAME result as the
+corresponding Spark query in ``__spark_entry__.queries()`` — same column
+names, same types, same rounding. Iterative kernels are expressed as
+unrolled CTE chains (fixed-round algorithms) or recursive CTEs
+(fixpoint algorithms); floats are rounded identically on both sides
+because summation order differs between engines.
+"""
+
+from __future__ import annotations
+
+from linkgraph.derive import EDGES_SQL, NUM_VERTICES
+
+_TELEPORT = f"(0.15 / {NUM_VERTICES})"  # (1-0.85)/N
+
+
+def degrees_sql() -> str:
+    return f"""
+WITH {EDGES_SQL}
+SELECT v.id,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+FROM vertices v
+LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.src
+LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.dst
+"""
+
+
+def pagerank_sql(iterations: int = 10) -> str:
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""r{k} AS (
+    SELECT v.id,
+           {_TELEPORT} + 0.85 * COALESCE(m.mass, 0.0) AS pr
+    FROM vertices v
+    LEFT JOIN (
+        SELECT ne.dst AS id, SUM(r.pr * ne.w) AS mass
+        FROM ne JOIN r{k - 1} r ON ne.src = r.id
+        GROUP BY ne.dst
+    ) m ON v.id = m.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, 1.0 / d.od AS w FROM edges e JOIN deg d ON e.src = d.src),
+r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM vertices),
+{",".join(rounds)}
+SELECT id, ROUND(pr, 6) AS pr FROM r{iterations}
+"""
+
+
+def wcc_sql() -> str:
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+sym AS (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+reach(id, lbl) AS (
+    SELECT id, id FROM vertices
+    UNION
+    SELECT s.dst AS id, r.lbl FROM sym s JOIN reach r ON s.src = r.id
+)
+SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id
+"""
+
+
+def labelprop_sql(iterations: int = 5) -> str:
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""votes{k} AS (
+    SELECT s.dst AS id, l.label AS label, COUNT(*) AS cnt
+    FROM sym s JOIN l{k - 1} l ON s.src = l.id
+    GROUP BY s.dst, l.label
+),
+win{k} AS (
+    SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        FROM votes{k}
+    ) WHERE rn = 1
+),
+l{k} AS (
+    SELECT v.id, COALESCE(w.label, p.label) AS label
+    FROM vertices v
+    JOIN l{k - 1} p ON v.id = p.id
+    LEFT JOIN win{k} w ON v.id = w.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+sym AS (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+l0 AS (SELECT id, id AS label FROM vertices),
+{",".join(rounds)}
+SELECT id, label FROM l{iterations}
+"""
+
+
+def triangles_sql() -> str:
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM canon e1
+JOIN canon e2 ON e1.b = e2.a
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def bfs_sql(root: int = 0, max_depth: int = 64) -> str:
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(id, dist) AS (
+    SELECT CAST({root} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    UNION
+    SELECT e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_depth}
+)
+SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
+"""
+
+
+def sssp_sql(root: int = 0, cost_cap: int = 400) -> str:
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(id, dist) AS (
+    SELECT CAST({root} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    UNION
+    SELECT e.dst AS id, w.dist + CAST(e.weight AS BIGINT) AS dist
+    FROM wedges e JOIN walk w ON e.src = w.id
+    WHERE e.src <> e.dst AND w.dist + e.weight <= {cost_cap}
+)
+SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
+"""
+
+
+def spmv_sql() -> str:
+    return f"""
+WITH {EDGES_SQL}
+SELECT v.id, ROUND(COALESCE(y.y, 0.0), 6) AS y
+FROM vertices v
+LEFT JOIN (
+    SELECT dst AS id, SUM(0.001 * CAST(src AS DOUBLE)) AS y
+    FROM edges GROUP BY dst
+) y ON v.id = y.id
+"""

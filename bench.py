@@ -1,0 +1,110 @@
+"""Benchmark harness: headline kernels on the derived link graph.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"pagerank_conv": sec, ...}, "sf": "...",
+     "pr_edges_per_sec_per_iter": ..., ...}
+
+The authoritative target (BASELINE.json) is edges/sec per PageRank
+iteration at 1e-6 convergence — reported as ``pr_edges_per_sec_per_iter``.
+Scaling-efficiency evidence (same job at local[8] vs local[32]) is
+produced by tools/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linkgraph.derive import link_graph  # noqa: E402
+from linkgraph.operators import (  # noqa: E402
+    bfs,
+    label_propagation,
+    pagerank,
+    spmv,
+    sssp,
+    triangle_count,
+    wcc,
+)
+from linkgraph.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="linkgraph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.monotonic()
+    g = link_graph(spark, sf_dir)
+    n_edges = g.edges.count()  # forces build + persist
+    g.out_normalized_edges().count()  # pre-build the PR adjacency
+    build_sec = time.monotonic() - t0
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t, 3)
+        return out
+
+    # headline: PageRank to 1e-6 convergence (counts its own iterations)
+    iters_box = {"n": 0}
+
+    def counting_checkpoint(df, it):
+        iters_box["n"] = max(iters_box["n"], it)
+        return df.localCheckpoint(eager=True)
+
+    ranks = timed(
+        "pagerank_conv",
+        lambda: pagerank(g, tol=1e-6, max_iterations=200, checkpointer=counting_checkpoint),
+    )
+    ranks.count()
+    pr_iters = iters_box["n"]
+    extras["pr_iterations"] = pr_iters
+    extras["pr_edges_per_sec_per_iter"] = round(
+        n_edges * pr_iters / timings["pagerank_conv"], 1
+    )
+
+    timed("pagerank10", lambda: pagerank(g, iterations=10).count())
+    timed("wcc", lambda: wcc(g).count())
+    timed("labelprop5", lambda: label_propagation(g, iterations=5).count())
+    timed("triangles", lambda: triangle_count(g).collect()[0]["triangles"])
+    timed("bfs", lambda: bfs(g, root=0).count())
+    timed("sssp", lambda: sssp(g, root=0).count())
+    timed("spmv", lambda: spmv(g).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total kernel wall time on derived link graph",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_edges": n_edges,
+                "n_vertices": g.num_vertices,
+                "build_sec": round(build_sec, 3),
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,30 +85,30 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("mass"))
         )
-        new_ranks = (
-            graph.vertices()
-            .join(contribs, F.col("id") == F.col("dst"), "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("rank"),
+        new_rank_expr = (
+            F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+        ).alias("rank")
+        if tol is None:
+            new_ranks = (
+                ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
+                .select("id", new_rank_expr)
             )
-        )
-        new_ranks = checkpoint(new_ranks, it)
-
-        if tol is not None:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-                .collect()[0]["d"]
+            ranks = checkpoint(new_ranks, it)
+        else:
+            # carry the previous rank through the checkpoint so the L∞ delta
+            # is an aggregate over the just-materialized state — no extra
+            # join against the old state DataFrame (which at 10^9 vertices
+            # would be a second full shuffle per iteration)
+            staged = (
+                ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
+                .select("id", F.col("rank").alias("old_rank"), new_rank_expr)
             )
-            ranks = new_ranks
+            staged = checkpoint(staged, it)
+            delta = staged.agg(
+                F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("d")
+            ).collect()[0]["d"]
+            ranks = staged.select("id", "rank")
             if delta is not None and delta < tol:
                 break
-        else:
-            ranks = new_ranks
 
     return ranks

@@ -1,0 +1,111 @@
+"""spark-submit entrypoint — the engine's CLI (the reference's random.c
+argument surface, S5 in SURVEY.md §2.1, re-expressed).
+
+    spark-submit --py-files linkgraph.zip driver.py \
+        --algo pagerank --source /path/to/source_table.parquet \
+        --checkpoint-root /data/ckpt --run-id run1 --output /data/out
+
+``--source`` is a parquet/Iceberg path of the source-code table
+(repo, path, commit, lang, content); edges are derived via the Arrow-UDF
+extractor. ``--edges`` skips extraction and reads an edge table directly.
+Relaunching with the same --checkpoint-root/--run-id resumes mid-algorithm
+from the highest committed iteration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from linkgraph.graph import Graph
+from linkgraph.ingest import extract_edges
+from linkgraph.operators import (
+    bfs,
+    label_propagation,
+    pagerank,
+    spmv,
+    sssp,
+    triangle_count,
+    wcc,
+)
+from linkgraph.runner import CheckpointStore
+
+ALGOS = ("pagerank", "wcc", "labelprop", "triangles", "bfs", "sssp", "spmv")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="linkgraph driver")
+    p.add_argument("--algo", required=True, choices=ALGOS)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--source", help="source-code table path (repo,path,commit,lang,content)")
+    src.add_argument("--edges", help="pre-built edge table path (src,dst[,weight])")
+    p.add_argument("--output", required=True, help="result table path")
+    p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--tol", type=float, default=None, help="PageRank convergence threshold")
+    p.add_argument("--root-vertex", type=int, default=0, help="BFS/SSSP root")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--num-vertices", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = SparkSession.builder.appName(f"linkgraph-{args.algo}").getOrCreate()
+
+    if args.source:
+        source = spark.read.parquet(args.source)
+        edges, ids = extract_edges(source, dedupe=True, drop_self=True)
+        n = args.num_vertices or ids.count()
+    else:
+        edges = spark.read.parquet(args.edges)
+        ids = None
+        n = args.num_vertices
+    g = Graph.from_edges(spark, edges, num_vertices=n, num_partitions=args.num_partitions)
+
+    store = None
+    if args.checkpoint_root:
+        store = CheckpointStore(spark, args.checkpoint_root, args.algo, args.run_id)
+
+    t0 = time.monotonic()
+    if args.algo == "pagerank":
+        result = pagerank(g, iterations=args.iterations, tol=args.tol, store=store)
+    elif args.algo == "wcc":
+        result = wcc(g, store=store)
+    elif args.algo == "labelprop":
+        result = label_propagation(g, iterations=args.iterations)
+    elif args.algo == "triangles":
+        result = triangle_count(g)
+    elif args.algo == "bfs":
+        result = bfs(g, root=args.root_vertex)
+    elif args.algo == "sssp":
+        result = sssp(g, root=args.root_vertex)
+    else:
+        result = spmv(g)
+
+    result.write.mode("overwrite").parquet(args.output)
+    wall = time.monotonic() - t0
+    n_edges = g.edges.count()
+    print(
+        json.dumps(
+            {
+                "algo": args.algo,
+                "run_id": args.run_id,
+                "wall_sec": round(wall, 3),
+                "n_vertices": g.num_vertices,
+                "n_edges": n_edges,
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,25 +57,39 @@ def pagerank(
     tol: float | None = None,
     max_iterations: int = 100,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    store=None,
 ) -> DataFrame:
     """Run PageRank; returns DataFrame(id: long, rank: double).
 
     ``tol=None`` → parity mode: exactly ``iterations`` rounds (reference's
     fixed-10 loop). ``tol`` set → convergence mode: iterate until
     ``max|new-old| < tol`` or ``max_iterations``.
+
+    ``store`` (a linkgraph.runner.CheckpointStore) makes the run durable
+    and resumable: iteration k's state is committed before k+1 starts, and
+    a relaunch continues from the highest committed iteration.
     """
-    checkpoint = checkpointer or _default_checkpointer
+    if store is not None:
+        checkpoint = store.checkpointer
+    else:
+        checkpoint = checkpointer or _default_checkpointer
     n = graph.num_vertices
     if n == 0:
         raise ValueError("pagerank: graph has no vertices")
     teleport = (1.0 - damping) / n  # adding_constant, pagerank_simple.c:88
     norm_edges = graph.out_normalized_edges()
 
-    ranks = graph.vertices().select("id", F.lit(float(init_rank)).alias("rank"))
-    ranks = checkpoint(ranks, 0)
+    start = 0
+    resumed = store.latest_iteration() if store is not None else None
+    if resumed is not None:
+        ranks = store.load(resumed).select("id", "rank")
+        start = resumed
+    else:
+        ranks = graph.vertices().select("id", F.lit(float(init_rank)).alias("rank"))
+        ranks = checkpoint(ranks, 0)
 
     total_rounds = iterations if tol is None else max_iterations
-    for it in range(1, total_rounds + 1):
+    for it in range(start + 1, total_rounds + 1):
         contribs = (
             norm_edges.join(ranks, norm_edges["src"] == ranks["id"])
             .select(

@@ -39,22 +39,43 @@ def wcc(
     graph: Graph,
     max_iterations: int = 200,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    store=None,
 ) -> DataFrame:
     """Connected components of the UNDIRECTED view of ``graph``.
 
     Returns DataFrame(id: long, comp: long) where ``comp`` is the minimum
     vertex id in the component (deterministic, unlike the reference's
     race-order-dependent intermediate states — the fixpoint agrees).
+
+    ``store`` makes the run resumable: each committed iteration carries
+    (id, old_comp, comp), so the worklist frontier (rows where comp
+    shrank) is reconstructible from the stored state alone.
     """
-    checkpoint = checkpointer or _default_checkpointer
+    if store is not None:
+        checkpoint = store.checkpointer
+    else:
+        checkpoint = checkpointer or _default_checkpointer
     sym = graph.symmetrized().edges.select("src", "dst")
 
-    comp = graph.vertices().select("id", F.col("id").alias("comp"))
-    comp = checkpoint(comp, 0)
-    # frontier: vertices whose component changed last round (worklist analog)
-    frontier = comp
+    start = 0
+    resumed = store.latest_iteration() if store is not None else None
+    if resumed is not None:
+        loaded = store.load(resumed)
+        comp = loaded.select("id", "comp")
+        if "old_comp" in loaded.columns:
+            frontier = loaded.filter(F.col("comp") < F.col("old_comp")).select("id", "comp")
+            if frontier.isEmpty():
+                return comp
+        else:
+            frontier = comp
+        start = resumed
+    else:
+        comp = graph.vertices().select("id", F.col("id").alias("comp"))
+        comp = checkpoint(comp, 0)
+        # frontier: vertices whose component changed last round (worklist)
+        frontier = comp
 
-    for it in range(1, max_iterations + 1):
+    for it in range(start + 1, max_iterations + 1):
         # scatter: active vertices push their component along out-edges
         upd = (
             sym.join(frontier, sym["src"] == frontier["id"])

@@ -1,0 +1,100 @@
+"""Checkpointed, resumable iteration — the engine's run lifecycle.
+
+The reference's driver loop (random.c:128-143) runs construct → iterate →
+destruct in one process; a crash loses everything. Our north rule requires
+every iteration's vertex state to be durably checkpointed with
+per-partition lineage + metrics so a relaunched job resumes mid-algorithm.
+
+``CheckpointStore`` provides the ``checkpointer(df, iteration)`` hook the
+kernels already accept. Each call:
+
+1. writes the iteration's state to ``{root}/{algo}/{run_id}/iter_NNNNN``
+   (parquet here; format='iceberg' is a one-line swap on a cluster with an
+   Iceberg catalog — the layout (algo, run_id, iteration) mirrors the
+   Iceberg identity-partition spec we'd use);
+2. re-reads it — which BOTH truncates the logical plan (the iterative-plan
+   lineage blowup fix) AND makes the returned DataFrame served from disk,
+   so resume and continue see byte-identical state;
+3. appends per-partition lineage rows (algo, run_id, iteration,
+   partition_id, rows, wall_ms) to ``{root}/_metrics`` — the Spark analog
+   of the reference's per-phase rdtsc timing (utils.h:86-94).
+
+Only directories containing Spark's ``_SUCCESS`` marker count as committed
+iterations, so a crash mid-write is invisible to resume (the incomplete
+iteration is overwritten and redone).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "algo string, run_id string, iteration int, partition_id int, "
+    "rows long, wall_ms double"
+)
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str, algo: str, run_id: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.algo = algo
+        self.run_id = run_id
+
+    # ----------------------------------------------------------- layout
+    def _run_dir(self) -> str:
+        return f"{self.root}/{self.algo}/{self.run_id}"
+
+    def _iter_dir(self, iteration: int) -> str:
+        return f"{self._run_dir()}/iter_{iteration:05d}"
+
+    def _metrics_dir(self) -> str:
+        return f"{self.root}/_metrics"
+
+    # ------------------------------------------------------ checkpointer
+    def checkpointer(self, df: DataFrame, iteration: int) -> DataFrame:
+        t0 = time.monotonic()
+        path = self._iter_dir(iteration)
+        df.write.mode("overwrite").parquet(path)
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        out = self.spark.read.parquet(path)
+        lineage = (
+            out.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.lit(self.algo).alias("algo"),
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(iteration).cast("int").alias("iteration"),
+                F.col("partition_id").cast("int"),
+                F.col("rows").cast("long"),
+                F.lit(wall_ms).alias("wall_ms"),
+            )
+        )
+        lineage.write.mode("append").parquet(self._metrics_dir())
+        return out
+
+    # ------------------------------------------------------------ resume
+    def latest_iteration(self) -> int | None:
+        """Highest committed (has _SUCCESS) iteration, or None."""
+        run_dir = self._run_dir()
+        if not os.path.isdir(run_dir):
+            return None
+        best = None
+        for name in os.listdir(run_dir):
+            if name.startswith("iter_") and os.path.exists(
+                os.path.join(run_dir, name, "_SUCCESS")
+            ):
+                k = int(name.split("_")[1])
+                best = k if best is None else max(best, k)
+        return best
+
+    def load(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(self._iter_dir(iteration))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self._metrics_dir())

@@ -1,0 +1,107 @@
+"""Checkpoint/resume: kill after iteration k, relaunch, identical result
+(north rule), plus per-partition lineage metrics and crash-tolerance."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.operators import pagerank, wcc
+from linkgraph.runner import CheckpointStore
+
+from tests.conftest import bridge_edges, make_graph, zipf_edges
+
+
+def _arr(df, col, n):
+    out = np.zeros(n)
+    for row in df.collect():
+        out[row["id"]] = row[col]
+    return out
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    edges, n = zipf_edges(n=300, m=2000)
+    g = make_graph(spark, edges, n)
+    root = str(tmp_path / "ckpt")
+
+    # uninterrupted store-backed run (the comparable execution path: float
+    # aggregation order depends on the state DataFrame's physical layout,
+    # so bit-identity is asserted within the store path, and 1e-12
+    # agreement against the in-memory checkpointer path)
+    full = CheckpointStore(spark, root, "pagerank", "runFull")
+    want = _arr(pagerank(g, iterations=10, store=full), "rank", n)
+
+    # interrupted run: 4 iterations, then "crash", then relaunch to 10
+    store = CheckpointStore(spark, root, "pagerank", "runA")
+    pagerank(g, iterations=4, store=store)
+    assert store.latest_iteration() == 4
+    got = _arr(pagerank(g, iterations=10, store=store), "rank", n)
+
+    assert np.array_equal(got, want)  # bit-identical within the store path
+    mem = _arr(pagerank(g, iterations=10), "rank", n)
+    assert np.allclose(got, mem, atol=1e-12)
+    g.unpersist()
+
+
+def test_resume_skips_completed_iterations(spark, tmp_path):
+    edges, n = bridge_edges()
+    g = make_graph(spark, edges, n)
+    store = CheckpointStore(spark, str(tmp_path / "c2"), "pagerank", "runB")
+    pagerank(g, iterations=5, store=store)
+    # relaunch asking for the same 5: must return stored state, write nothing new
+    before = store.latest_iteration()
+    pagerank(g, iterations=5, store=store)
+    assert store.latest_iteration() == before == 5
+    g.unpersist()
+
+
+def test_partial_write_is_invisible(spark, tmp_path):
+    edges, n = bridge_edges()
+    g = make_graph(spark, edges, n)
+    root = str(tmp_path / "c3")
+    store = CheckpointStore(spark, root, "pagerank", "runC")
+    pagerank(g, iterations=3, store=store)
+    # simulate a crash mid-write of iteration 4: directory without _SUCCESS
+    fake = os.path.join(root, "pagerank", "runC", "iter_00004")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert store.latest_iteration() == 3  # uncommitted iteration ignored
+    got = pagerank(g, iterations=6, store=store)  # resumes at 3, overwrites 4
+    want = pagerank(g, iterations=6)
+    assert np.array_equal(_arr(got, "rank", n), _arr(want, "rank", n))
+    g.unpersist()
+
+
+def test_lineage_metrics(spark, tmp_path):
+    edges, n = bridge_edges()
+    g = make_graph(spark, edges, n)
+    store = CheckpointStore(spark, str(tmp_path / "c4"), "pagerank", "runD")
+    pagerank(g, iterations=3, store=store)
+    m = store.metrics()
+    assert set(m.columns) == {"algo", "run_id", "iteration", "partition_id", "rows", "wall_ms"}
+    per_iter = {
+        row["iteration"]: row["total"]
+        for row in m.groupBy("iteration").agg(F.sum("rows").alias("total")).collect()
+    }
+    assert set(per_iter) == {0, 1, 2, 3}
+    assert all(v == n for v in per_iter.values())  # full vertex set each iter
+    assert m.filter(F.col("wall_ms") <= 0).count() == 0
+    g.unpersist()
+
+
+def test_wcc_resume_identical(spark, tmp_path):
+    edges, n = zipf_edges(n=300, m=600)  # sparse → several rounds
+    g = make_graph(spark, edges, n)
+    want = _arr(wcc(g), "comp", n)
+    store = CheckpointStore(spark, str(tmp_path / "c5"), "wcc", "runE")
+    wcc(g, max_iterations=2, store=store)  # "crash" after 2 rounds
+    got = _arr(wcc(g, store=store), "comp", n)
+    assert np.array_equal(got, want)
+    # resuming a CONVERGED run returns immediately with the same state
+    got2 = _arr(wcc(g, store=store), "comp", n)
+    assert np.array_equal(got2, want)
+    g.unpersist()

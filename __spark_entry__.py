@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from linkgraph import docs, similarity
 from linkgraph import oracle_sql as osql
 from linkgraph.derive import link_graph
 from linkgraph.operators import (
@@ -83,6 +84,45 @@ def _q_spmv(spark, sf_dir):
     return spmv(_graph(spark, sf_dir)).select("id", F.round("y", 6).alias("y"))
 
 
+# ------------------------------------------------- documents / embeddings
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_docs_dedup(spark, sf_dir):
+    return docs.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_docs_token_stats(spark, sf_dir):
+    return docs.token_stats(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return docs.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5)
+
+
+def _q_knn_cosine(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+# rows-only checks (hash functions are engine-specific; correctness is
+# asserted in tests/ via planted fixtures and invariants instead)
+def _q_minhash_pairs(spark, sf_dir):
+    return docs.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return docs.simhash(_docs(spark, sf_dir))
+
+
+def _q_lsh_knn(spark, sf_dir):
+    return similarity.lsh_cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, num_bits=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
@@ -93,6 +133,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "sssp": _q_sssp,
         "spmv": _q_spmv,
+        "docs_dedup": _q_docs_dedup,
+        "docs_token_stats": _q_docs_token_stats,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "knn_cosine": _q_knn_cosine,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "lsh_knn": _q_lsh_knn,
     }
 
 
@@ -106,4 +153,11 @@ def oracle_sql() -> dict[str, str]:
         "bfs": osql.bfs_sql(root=0),
         "sssp": osql.sssp_sql(root=0),
         "spmv": osql.spmv_sql(),
+        "docs_dedup": osql.docs_dedup_sql(),
+        "docs_token_stats": osql.docs_token_stats_sql(),
+        "ngram_jaccard": osql.ngram_jaccard_sql(k=5, min_jaccard=0.5),
+        "knn_cosine": osql.knn_cosine_sql(query_vec_id=0, k=10),
+        # minhash_pairs / simhash / lsh_knn: intentionally no SQL oracle —
+        # they hinge on xxhash64, which DuckDB cannot reproduce; the driver
+        # records rows-only checks and tests/ pin their semantics.
     }

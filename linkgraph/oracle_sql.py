@@ -159,3 +159,68 @@ LEFT JOIN (
     FROM edges GROUP BY dst
 ) y ON v.id = y.id
 """
+
+
+# ----------------------------------------------------------------- documents
+def docs_dedup_sql() -> str:
+    return """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
+FROM documents GROUP BY text
+"""
+
+
+def docs_token_stats_sql() -> str:
+    stop_list = "'the','of','and','a','to','in','is','it','that','for'"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE)
+             / NULLIF(CAST(len(t) AS DOUBLE), 0.0), 6) AS mean_token_len,
+       ROUND(CAST(len(list_filter(t, s -> s IN ({stop_list}))) AS DOUBLE)
+             / NULLIF(CAST(len(t) AS DOUBLE), 0.0), 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def ngram_jaccard_sql(k: int = 5, min_jaccard: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i+1:i+{k}], ' ') AS shingle
+    FROM toks, UNNEST(generate_series(0, greatest(len(t)-{k}, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {min_jaccard}
+"""
+
+
+def knn_cosine_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id, sim FROM (
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {query_vec_id}
+)
+ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""

@@ -1,0 +1,144 @@
+"""Document operators: planted-fixture semantics for dedup, token stats,
+minhash/LSH, simhash, n-gram Jaccard, and cosine similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.docs import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    token_stats,
+)
+from linkgraph.similarity import cosine_topk, lsh_cosine_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "to find a quiet place in the deep green forest of the north"
+)
+NEAR = BASE.replace("quiet", "silent")  # one token differs
+OTHER = "completely different content about spark shuffles and partitions " * 3
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),       # exact dup of 0
+        (2, NEAR, "en", "s", len(NEAR)),       # near dup of 0
+        (3, OTHER, "en", "s", len(OTHER)),
+        (4, "tiny", "en", "s", 4),             # shorter than shingle k
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(spark, docs_df):
+    got = {(r["doc_id"], r["n"]) for r in exact_dedup(docs_df).collect()}
+    assert got == {(0, 2), (2, 1), (3, 1), (4, 1)}
+    got_h = {(r["doc_id"], r["n"]) for r in exact_dedup(docs_df, by_hash=True).collect()}
+    assert got_h == got
+
+
+def test_token_stats(spark, docs_df):
+    row = {r["doc_id"]: r for r in token_stats(docs_df).collect()}
+    toks = BASE.lower().split()
+    assert row[0]["n_tokens"] == len(toks)
+    assert row[0]["n_chars"] == len(BASE)
+    assert row[0]["mean_token_len"] == pytest.approx(
+        sum(len(t) for t in toks) / len(toks), abs=1e-6
+    )
+    stop = {"the", "of", "and", "a", "to", "in", "is", "it", "that", "for"}
+    assert row[0]["stopword_ratio"] == pytest.approx(
+        sum(t in stop for t in toks) / len(toks), abs=1e-6
+    )
+    assert row[4]["n_tokens"] == 1
+
+
+def test_minhash_pairs(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_candidate_pairs(docs_df, num_hashes=32, bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs: identical signatures
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup caught
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_simhash(spark, docs_df):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert fp[0] == fp[1]  # identical docs
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])
+    assert hamming(fp[0], fp[2]) <= 8  # near dup: few bits flip
+
+
+def _py_shingles(text, k=5):
+    t = text.lower().split()
+    if len(t) <= k:
+        return {" ".join(t[i : i + k]) for i in range(max(len(t) - k, 0) + 1)}
+    return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+def test_ngram_jaccard_exact(spark, docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, k=5, min_jaccard=0.1).collect()
+    }
+    texts = {0: BASE, 1: BASE, 2: NEAR, 3: OTHER, 4: "tiny"}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+                inter = len(sa & sb)
+                if inter:
+                    j = inter / len(sa | sb)
+                    if j >= 0.1:
+                        want[(a, b)] = round(j, 6)
+    assert got.keys() == want.keys()
+    for p in want:
+        assert got[p] == pytest.approx(want[p], abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.normal(size=16).astype(np.float32)  # near 0
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    got = [(r["vec_id"], r["sim"]) for r in cosine_topk(df, 0, k=5).collect()]
+    v = vecs.astype(np.float64)
+    sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    order = sorted(
+        ((round(s, 6), i) for i, s in enumerate(sims) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    want = [(i, s) for s, i in order]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=2e-6)
+    assert got[0][0] == 1  # the planted near-duplicate vector wins
+
+
+def test_lsh_topk_subset_of_exact_scores(spark, emb_df):
+    df, vecs = emb_df
+    exact = {r["vec_id"]: r["sim"] for r in cosine_topk(df, 0, k=49).collect()}
+    approx = [(r["vec_id"], r["sim"]) for r in lsh_cosine_topk(df, 0, k=5, num_bits=2, dim=16).collect()]
+    assert approx, "query bucket must contain at least the near-duplicate"
+    for vid, sim in approx:
+        assert exact[vid] == pytest.approx(sim, abs=1e-6)  # same scores

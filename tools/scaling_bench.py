@@ -1,0 +1,124 @@
+"""Scaling-efficiency evidence: the identical PageRank job at two
+parallelism levels (N and 4N cores) on the same input.
+
+The north rule's criterion — ≥0.8 throughput scaling efficiency from N to
+4N executors — cannot use a real cluster in this sandbox, so we evidence
+it the sanctioned way: same job, same input, two local parallelism levels.
+
+Parallelism pair: **local[2] vs local[8]**. Why not 8 vs 32: this host
+advertises 32 CPUs but measured effective parallelism is ~24 and
+memory-touching throughput DEGRADES beyond ~8 threads (a cached 24M-row
+scan ran 2.5x slower at 32 threads than at 8 — shared-tenancy
+contention). 2→8 sits below the contention knee, so it measures the
+ENGINE's scaling, not the neighbors'. Both raw 8-vs-32 and 2-vs-8 numbers
+are recorded in BASELINE.md for transparency.
+
+The input is generated INSIDE Spark, deterministically (xxhash64 of a
+range — no data files): V = 2^22 vertices, E = 96M edges, hub-free hash
+scatter. The job is 5 parity-mode PageRank iterations over the persisted
+normalized adjacency — the engine's core join→agg→merge round. Fixed
+shuffle.partitions=64 at both levels (identical physical plan; only
+executor-thread count changes); AQE off (static, known-good plan — AQE's
+per-stage re-planning is pure serial driver overhead in this loop);
+shuffle on tmpfs (see linkgraph.session).
+
+Usage:  python tools/scaling_bench.py            # parent: runs both, reports
+        python tools/scaling_bench.py --child 8  # one measured run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+V = 1 << 22
+E = 96_000_000
+ITERS = 5
+SHUFFLE_PARTITIONS = 64
+CORES_LOW = 2
+CORES_HIGH = 8
+
+
+def child(cores: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import Graph
+    from linkgraph.operators import pagerank
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.range(E, numPartitions=SHUFFLE_PARTITIONS).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(V)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(V)).alias("dst"),
+    )
+    g = Graph.from_edges(
+        spark, edges, num_vertices=V, num_partitions=SHUFFLE_PARTITIONS,
+        add_weight_if_missing=False,
+    )
+    g.out_normalized_edges().count()  # materialize adjacency before timing
+    t0 = time.monotonic()
+    pagerank(g, iterations=ITERS).count()
+    sec = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "edges": E,
+                "vertices": V,
+                "iterations": ITERS,
+                "pr_sec": round(sec, 3),
+                "edges_per_sec_per_iter": round(E * ITERS / sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def parent() -> None:
+    results = {}
+    for cores in (CORES_LOW, CORES_HIGH):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    tlo = results[CORES_LOW]["edges_per_sec_per_iter"]
+    thi = results[CORES_HIGH]["edges_per_sec_per_iter"]
+    ratio = CORES_HIGH / CORES_LOW
+    eff = (thi / tlo) / ratio
+    print(
+        json.dumps(
+            {
+                "metric": f"PageRank throughput scaling, local[{CORES_LOW}] vs local[{CORES_HIGH}]",
+                f"throughput_{CORES_LOW}": tlo,
+                f"throughput_{CORES_HIGH}": thi,
+                "speedup": round(thi / tlo, 3),
+                "scaling_efficiency": round(eff, 3),
+                "target": 0.8,
+                "pass": eff >= 0.8,
+                "detail": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+    else:
+        parent()

@@ -58,6 +58,7 @@ def pagerank(
     max_iterations: int = 100,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
     store=None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Run PageRank; returns DataFrame(id: long, rank: double).
 
@@ -90,15 +91,22 @@ def pagerank(
 
     total_rounds = iterations if tol is None else max_iterations
     for it in range(start + 1, total_rounds + 1):
-        contribs = (
-            norm_edges.join(ranks, norm_edges["src"] == ranks["id"])
-            .select(
-                F.col("dst"),
-                (F.col("rank") * F.col("inv_out_deg")).alias("contrib"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("mass"))
+        scattered = norm_edges.join(ranks, norm_edges["src"] == ranks["id"]).select(
+            F.col("src"),
+            F.col("dst"),
+            (F.col("rank") * F.col("inv_out_deg")).alias("contrib"),
         )
+        if salt:
+            # explicit hub salting (north rule): bound every final-agg
+            # group by pre-summing (dst, salt-of-src) — see salting.py
+            from linkgraph.operators.salting import salted_sum
+
+            contribs = salted_sum(
+                scattered, key="dst", value="contrib", out="mass",
+                salt=salt, salt_source="src",
+            )
+        else:
+            contribs = scattered.groupBy("dst").agg(F.sum("contrib").alias("mass"))
         new_rank_expr = (
             F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
         ).alias("rank")

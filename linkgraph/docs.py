@@ -206,3 +206,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# --------------------------------------------------------------- language id
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"),
+}
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess, lang_score) — stopword-marker language ID.
+
+    Pure JVM expressions: per language, count marker-token hits in the
+    whitespace-tokenized text; guess = argmax hit count (ties → language
+    name order), score = hits/tokens. A heuristic, not a model — the
+    deterministic n-gram approach the engine contract asks for; swap in a
+    real classifier as a pandas UDF behind the same schema when available.
+    """
+    tok_expr = f"split(lower(trim({text_col})), '\\\\s+')"
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            F.expr(f"size(filter({tok_expr}, t -> t IN ({lst})))").alias(f"_s_{lang}")
+        )
+    n_toks = F.expr(f"size({tok_expr})")
+    scored = documents.select("doc_id", n_toks.alias("_n"), *scores)
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"_s_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+            for lang in _LANG_MARKERS
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        best["lang"].alias("lang_guess"),
+        F.round(
+            best["hits"] / F.nullif(F.col("_n").cast("double"), F.lit(0.0)), 6
+        ).alias("lang_score"),
+    )

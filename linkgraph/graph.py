@@ -127,15 +127,21 @@ class Graph:
     def canonical_undirected_edges(self) -> DataFrame:
         """Deduplicated undirected simple edges with ``a < b`` — the input
         contract for triangle counting (self-loops and multi-edges removed,
-        each undirected edge represented once)."""
-        e = self.edges.filter(F.col("src") != F.col("dst"))
-        return (
-            e.select(
-                F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"),
+        each undirected edge represented once). Persisted: consumers
+        (wedge build + closing semi-join) scan it multiple times."""
+        if "canon" not in self._cache:
+            e = self.edges.filter(F.col("src") != F.col("dst"))
+            canon = (
+                e.select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .dropDuplicates(["a", "b"])
+                .repartition(self.num_partitions, "a")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .dropDuplicates(["a", "b"])
-        )
+            self._cache["canon"] = canon
+        return self._cache["canon"]
 
     def degrees(self) -> DataFrame:
         """(id, out_deg, in_deg) over the FULL dense vertex set (isolated

@@ -39,14 +39,22 @@ def bfs(
     root: int,
     max_iterations: int = 10_000,
     broadcast_frontier_max: int = 1_000_000,
+    return_parents: bool = False,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(id: long, dist: long) for vertices reachable from
-    ``root`` along DIRECTED edges, dist = hop count (root = 0)."""
+    """Returns DataFrame(id: long, dist: long[, parent: long]) for vertices
+    reachable from ``root`` along DIRECTED edges, dist = hop count
+    (root = 0). ``return_parents`` adds the BFS-tree parent — chosen as
+    ``min(src)`` among the frontier predecessors, i.e. the reference's
+    racy first-CAS-wins parent (bfs_numa.c:257) made deterministic;
+    root's parent is itself (the reference marks roots the same way,
+    bfs_numa.c:84)."""
     checkpoint = checkpointer or _default_checkpointer
     edges = graph.edges.select("src", "dst")
 
-    visited = graph.spark.createDataFrame([(int(root), 0)], "id long, dist long")
+    visited = graph.spark.createDataFrame(
+        [(int(root), 0, int(root))], "id long, dist long, parent long"
+    )
     visited = checkpoint(visited, 0)
     frontier = visited.select("id")
     frontier_size = 1
@@ -55,8 +63,8 @@ def bfs(
         f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
         nxt = (
             edges.join(f, edges["src"] == f["id"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src").alias("parent"))
             .join(visited.select("id"), "id", "left_anti")
         )
         nxt = checkpoint(nxt, level)
@@ -64,9 +72,11 @@ def bfs(
         if frontier_size == 0:
             break
         visited = checkpoint(
-            visited.unionByName(nxt.select("id", F.lit(level).cast("long").alias("dist"))),
+            visited.unionByName(
+                nxt.select("id", F.lit(level).cast("long").alias("dist"), "parent")
+            ),
             level,
         )
-        frontier = nxt
+        frontier = nxt.select("id")
 
-    return visited
+    return visited if return_parents else visited.select("id", "dist")

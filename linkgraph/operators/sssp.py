@@ -37,26 +37,40 @@ def sssp(
     root: int,
     max_iterations: int = 10_000,
     broadcast_frontier_max: int = 1_000_000,
+    return_parents: bool = False,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(id: long, dist: double), reached vertices only."""
+    """Returns DataFrame(id: long, dist: double[, parent: long]), reached
+    vertices only. ``return_parents`` adds the shortest-path-tree parent,
+    tie-broken by min parent id (the reference tracks parents in the pull
+    path, sssp_pushpull.c:87-90, with racy update order; ours is
+    deterministic: min over struct(nd, parent))."""
     checkpoint = checkpointer or _default_checkpointer
     edges = graph.edges.select("src", "dst", "weight").filter(
         F.col("src") != F.col("dst")  # sssp_pushpull.c:47
     )
 
-    dist = graph.spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
+    dist = graph.spark.createDataFrame(
+        [(int(root), 0.0, int(root))], "id long, dist double, parent long"
+    )
     dist = checkpoint(dist, 0)
-    frontier = dist
+    frontier = dist.select("id", "dist")
     frontier_size = 1
 
     for it in range(1, max_iterations + 1):
         f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
         relax = (
             edges.join(f, edges["src"] == f["id"])
-            .select(F.col("dst"), (F.col("dist") + F.col("weight")).alias("nd"))
+            .select(
+                F.col("dst"),
+                F.struct(
+                    (F.col("dist") + F.col("weight")).alias("nd"),
+                    F.col("src").alias("p"),
+                ).alias("cand"),
+            )
             .groupBy("dst")
-            .agg(F.min("nd").alias("nd"))
+            .agg(F.min("cand").alias("cand"))
+            .select("dst", F.col("cand.nd").alias("nd"), F.col("cand.p").alias("np"))
         )
         merged = (
             dist.join(relax, dist["id"] == relax["dst"], "full_outer")
@@ -67,6 +81,16 @@ def sssp(
                     F.coalesce(F.col("dist"), F.lit(float("inf"))),
                     F.coalesce(F.col("nd"), F.lit(float("inf"))),
                 ).alias("dist"),
+                F.when(
+                    F.col("nd").isNotNull()
+                    & (
+                        F.col("dist").isNull()
+                        | (F.col("nd") < F.col("dist"))
+                    ),
+                    F.col("np"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
             )
         )
         merged = checkpoint(merged, it)
@@ -74,9 +98,9 @@ def sssp(
             F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist"))
         ).select("id", "dist")
         frontier_size = improved.count()
-        dist = merged.select("id", "dist")
+        dist = merged.select("id", "dist", "parent")
         if frontier_size == 0:
             break
         frontier = improved
 
-    return dist
+    return dist if return_parents else dist.select("id", "dist")

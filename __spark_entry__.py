@@ -70,6 +70,31 @@ def _q_triangles(spark, sf_dir):
     return triangle_count(_graph(spark, sf_dir))
 
 
+def _q_triangles_per_vertex(spark, sf_dir):
+    from linkgraph.operators import triangles_per_vertex
+
+    return triangles_per_vertex(_graph(spark, sf_dir))
+
+
+def _q_wcc_large_small_star(spark, sf_dir):
+    """Same fixpoint as hash-min wcc → shares its SQL oracle."""
+    from linkgraph.operators.wcc import wcc_large_small_star
+
+    return wcc_large_small_star(_graph(spark, sf_dir))
+
+
+def _q_pagerank10_salted(spark, sf_dir):
+    """Explicit hub-salting path; same recurrence → same oracle as pagerank10."""
+    g = _graph(spark, sf_dir)
+    return pagerank(g, iterations=10, salt=16).select(
+        "id", F.round("rank", 6).alias("pr")
+    )
+
+
+def _q_bfs_parents(spark, sf_dir):
+    return bfs(_graph(spark, sf_dir), root=0, return_parents=True)
+
+
 def _q_bfs(spark, sf_dir):
     return bfs(_graph(spark, sf_dir), root=0)
 
@@ -130,7 +155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "labelprop5": _q_labelprop5,
         "triangles": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "wcc_large_small_star": _q_wcc_large_small_star,
+        "pagerank10_salted": _q_pagerank10_salted,
         "bfs": _q_bfs,
+        "bfs_parents": _q_bfs_parents,
         "sssp": _q_sssp,
         "spmv": _q_spmv,
         "docs_dedup": _q_docs_dedup,
@@ -150,7 +179,11 @@ def oracle_sql() -> dict[str, str]:
         "wcc": osql.wcc_sql(),
         "labelprop5": osql.labelprop_sql(5),
         "triangles": osql.triangles_sql(),
+        "triangles_per_vertex": osql.triangles_per_vertex_sql(),
+        "wcc_large_small_star": osql.wcc_sql(),
+        "pagerank10_salted": osql.pagerank_sql(10),
         "bfs": osql.bfs_sql(root=0),
+        "bfs_parents": osql.bfs_parents_sql(root=0),
         "sssp": osql.sssp_sql(root=0),
         "spmv": osql.spmv_sql(),
         "docs_dedup": osql.docs_dedup_sql(),

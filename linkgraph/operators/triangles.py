@@ -77,10 +77,35 @@ def _closed_wedges(graph: Graph, degree_oriented: bool) -> DataFrame:
     return wedges.join(closing, ["a", "b"], "left_semi")
 
 
-def triangle_count(graph: Graph, degree_oriented: bool = True) -> DataFrame:
-    """Global triangle count; DataFrame with a single row (triangles: long)."""
-    tri = _closed_wedges(graph, degree_oriented)
-    return tri.agg(F.count("*").alias("triangles"))
+def triangle_count(
+    graph: Graph, degree_oriented: bool = True, method: str = "adjacency"
+) -> DataFrame:
+    """Global triangle count; DataFrame with a single row (triangles: long).
+
+    ``method='adjacency'`` (default) builds degree-oriented sorted
+    neighbor arrays and counts ``size(array_intersect(adj[u], adj[v]))``
+    per edge — the reference's sorted-adjacency intersection
+    (init_all.c:703-712 sorts neighbor lists for exactly this). It never
+    materializes the wedge set (O(E·d̄) element ops in-operator instead of
+    an O(wedges)-row shuffle — same wall time on the dense sf0.1 gate
+    graph, far less shuffle memory, which is what matters at 100 TB).
+    ``method='wedges'`` is the two-join formulation; identical counts.
+    """
+    if method == "wedges":
+        tri = _closed_wedges(graph, degree_oriented)
+        return tri.agg(F.count("*").alias("triangles"))
+    oriented = _oriented_edges(graph, degree_oriented).select("u", "v")
+    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select(F.col("u").alias("_u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("u").alias("_v"), F.col("nbrs").alias("nbrs_v"))
+    per_edge = (
+        oriented.join(au, oriented["u"] == au["_u"])
+        .join(av, oriented["v"] == av["_v"])
+        .select(
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("t")
+        )
+    )
+    return per_edge.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("triangles"))
 
 
 def triangles_per_vertex(graph: Graph, degree_oriented: bool = True) -> DataFrame:

@@ -224,3 +224,53 @@ SELECT vec_id, sim FROM (
 )
 ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
+
+
+def triangles_per_vertex_sql() -> str:
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM canon e1
+    JOIN canon e2 ON e1.b = e2.a
+    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT id, COUNT(*) AS t FROM (
+        SELECT u AS id FROM tri
+        UNION ALL SELECT v AS id FROM tri
+        UNION ALL SELECT w AS id FROM tri
+    ) GROUP BY id
+)
+SELECT v.id, CAST(COALESCE(c.t, 0) AS BIGINT) AS triangles
+FROM vertices v LEFT JOIN corners c ON v.id = c.id
+"""
+
+
+def bfs_parents_sql(root: int = 0, max_depth: int = 64) -> str:
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(id, dist) AS (
+    SELECT CAST({root} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    UNION
+    SELECT e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_depth}
+),
+d AS (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id),
+preds AS (
+    SELECT e.dst AS id, MIN(e.src) AS parent
+    FROM edges e
+    JOIN d du ON e.src = du.id
+    JOIN d dv ON e.dst = dv.id
+    WHERE du.dist = dv.dist - 1
+    GROUP BY e.dst
+)
+SELECT d.id, d.dist, COALESCE(p.parent, d.id) AS parent
+FROM d LEFT JOIN preds p ON d.id = p.id
+"""

@@ -51,6 +51,10 @@ def main() -> None:
     g.out_normalized_edges().count()  # pre-build the PR adjacency
     build_sec = time.monotonic() - t0
 
+    # the kernel loops have static, known-good plans; AQE's per-stage
+    # re-planning is pure driver latency there (measured ~12% of PR wall)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

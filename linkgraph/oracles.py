@@ -20,24 +20,31 @@ def pagerank_oracle(
     init_rank: float = 0.15,
     tol: float | None = None,
     max_iterations: int = 100,
+    check_every: int = 1,
 ) -> np.ndarray:
     """pagerank_simple.c recurrence: init 0.15 (line 95), fixed iterations
     (line 115), rank' = (1-d)/N + d·Σ prev[u]/outdeg(u) (lines 62-84,
-    119-123), no dangling redistribution. Multi-edges each contribute."""
+    119-123), no dangling redistribution. Multi-edges each contribute.
+
+    ``check_every`` mirrors the engine's ``unroll``: the convergence test
+    compares against the state ``check_every`` iterations back."""
     src, dst = edges[:, 0], edges[:, 1]
     outdeg = np.bincount(src, minlength=n).astype(np.float64)
     safe = np.where(outdeg == 0, 1.0, outdeg)
     rank = np.full(n, init_rank, dtype=np.float64)
     const = (1.0 - damping) / n
     rounds = iterations if tol is None else max_iterations
-    for _ in range(rounds):
-        contrib = rank[src] / safe[src]
-        acc = np.bincount(dst, weights=contrib, minlength=n)
-        new = const + damping * acc
-        if tol is not None and np.max(np.abs(new - rank)) < tol:
-            rank = new
+    it = 0
+    while it < rounds:
+        block = min(check_every, rounds - it) if tol is not None else 1
+        old = rank
+        for _ in range(block):
+            contrib = rank[src] / safe[src]
+            acc = np.bincount(dst, weights=contrib, minlength=n)
+            rank = const + damping * acc
+            it += 1
+        if tol is not None and np.max(np.abs(rank - old)) < tol:
             break
-        rank = new
     return rank
 
 

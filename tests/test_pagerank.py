@@ -28,11 +28,12 @@ def test_pagerank_parity_10_iters(spark, name):
     g.unpersist()
 
 
-def test_pagerank_convergence_mode(spark):
+@pytest.mark.parametrize("unroll", [1, 4])
+def test_pagerank_convergence_mode(spark, unroll):
     edges, n = SMALL_FIXTURES["bridge"]()
     g = make_graph(spark, edges, n)
-    got = _ranks_array(pagerank(g, tol=1e-6, max_iterations=200), n)
-    want = pagerank_oracle(edges, n, tol=1e-6, max_iterations=200)
+    got = _ranks_array(pagerank(g, tol=1e-6, max_iterations=200, unroll=unroll), n)
+    want = pagerank_oracle(edges, n, tol=1e-6, max_iterations=200, check_every=unroll)
     assert np.allclose(got, want, atol=1e-6)
     g.unpersist()
 

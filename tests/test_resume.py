@@ -71,8 +71,9 @@ def test_partial_write_is_invisible(spark, tmp_path):
         f.write(b"garbage")
     assert store.latest_iteration() == 3  # uncommitted iteration ignored
     got = pagerank(g, iterations=6, store=store)  # resumes at 3, overwrites 4
-    want = pagerank(g, iterations=6)
-    assert np.array_equal(_arr(got, "rank", n), _arr(want, "rank", n))
+    want = pagerank(g, iterations=6, unroll=1)
+    # cross-checkpointer-path comparison: same math, float order may differ
+    assert np.allclose(_arr(got, "rank", n), _arr(want, "rank", n), atol=1e-12)
     g.unpersist()
 
 

@@ -15,7 +15,8 @@ are recorded in BASELINE.md for transparency.
 
 The input is generated INSIDE Spark, deterministically (xxhash64 of a
 range — no data files): V = 2^22 vertices, E = 96M edges, hub-free hash
-scatter. The job is 5 parity-mode PageRank iterations over the persisted
+scatter. The job is 8 parity-mode PageRank iterations (unroll=1: one
+checkpoint per iteration, individually timed) over the persisted
 normalized adjacency — the engine's core join→agg→merge round. Fixed
 shuffle.partitions=64 at both levels (identical physical plan; only
 executor-thread count changes); AQE off (static, known-good plan — AQE's
@@ -37,7 +38,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 V = 1 << 22
 E = 96_000_000
-ITERS = 5
+ITERS = 8
 SHUFFLE_PARTITIONS = 64
 CORES_LOW = 2
 CORES_HIGH = 8
@@ -70,9 +71,29 @@ def child(cores: int) -> None:
         add_weight_if_missing=False,
     )
     g.out_normalized_edges().count()  # materialize adjacency before timing
-    t0 = time.monotonic()
-    pagerank(g, iterations=ITERS).count()
-    sec = time.monotonic() - t0
+
+    # per-iteration timing via the checkpointer hook; unroll=1 pins ONE
+    # checkpointer call per iteration (the default unroll=4 would batch 4
+    # iterations per call and inflate every per-iteration stat 4x). MIN
+    # iteration time is the noise-robust statistic on a shared-tenancy
+    # host — interference only ever ADDS time.
+    import statistics
+
+    times: list[float] = []
+    last = [time.monotonic()]
+
+    def timing_checkpoint(df, it):
+        out = df.localCheckpoint(eager=True)
+        now = time.monotonic()
+        times.append(now - last[0])
+        last[0] = now
+        return out
+
+    pagerank(g, iterations=ITERS, checkpointer=timing_checkpoint, unroll=1).count()
+    iter_times = times[1:]  # times[0] is the init-state checkpoint
+    assert len(iter_times) == ITERS, f"expected {ITERS} per-iteration samples, got {len(iter_times)}"
+    best = min(iter_times)
+    med = statistics.median(iter_times)
     print(
         json.dumps(
             {
@@ -80,8 +101,10 @@ def child(cores: int) -> None:
                 "edges": E,
                 "vertices": V,
                 "iterations": ITERS,
-                "pr_sec": round(sec, 3),
-                "edges_per_sec_per_iter": round(E * ITERS / sec, 1),
+                "iter_sec": [round(t, 3) for t in iter_times],
+                "min_iter_sec": round(best, 3),
+                "median_iter_sec": round(med, 3),
+                "edges_per_sec_per_iter": round(E / best, 1),
             }
         )
     )

@@ -62,6 +62,16 @@ def _q_wcc(spark, sf_dir):
     return wcc(_graph(spark, sf_dir))
 
 
+def _q_wcc_census(spark, sf_dir):
+    """The component census the reference prints (wcc.c:168-179)."""
+    comp = wcc(_graph(spark, sf_dir))
+    census = comp.groupBy("comp").agg(F.count("*").alias("size"))
+    return census.agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.max("size").cast("long").alias("max_size"),
+    )
+
+
 def _q_labelprop5(spark, sf_dir):
     return label_propagation(_graph(spark, sf_dir), iterations=5)
 
@@ -153,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "pagerank10": _q_pagerank10,
         "wcc": _q_wcc,
+        "wcc_census": _q_wcc_census,
         "labelprop5": _q_labelprop5,
         "triangles": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -177,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "degrees": osql.degrees_sql(),
         "pagerank10": osql.pagerank_sql(10),
         "wcc": osql.wcc_sql(),
+        "wcc_census": osql.wcc_census_sql(),
         "labelprop5": osql.labelprop_sql(5),
         "triangles": osql.triangles_sql(),
         "triangles_per_vertex": osql.triangles_per_vertex_sql(),

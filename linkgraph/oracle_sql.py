@@ -274,3 +274,24 @@ preds AS (
 SELECT d.id, d.dist, COALESCE(p.parent, d.id) AS parent
 FROM d LEFT JOIN preds p ON d.id = p.id
 """
+
+
+def wcc_census_sql() -> str:
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+sym AS (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+reach(id, lbl) AS (
+    SELECT id, id FROM vertices
+    UNION
+    SELECT s.dst AS id, r.lbl FROM sym s JOIN reach r ON s.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id),
+census AS (SELECT comp, COUNT(*) AS size FROM comp GROUP BY comp)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(size) AS BIGINT) AS max_size
+FROM census
+"""

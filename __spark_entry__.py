@@ -35,7 +35,9 @@ _GRAPH_CACHE: dict = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): CPython reuses object ids, so
+    # a fresh session could otherwise alias a dead session's cached Graph
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAPH_CACHE:
         _GRAPH_CACHE[key] = link_graph(spark, sf_dir)
     return _GRAPH_CACHE[key]

@@ -78,15 +78,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "wcc":
         result = wcc(g, store=store)
     elif args.algo == "labelprop":
-        result = label_propagation(g, iterations=args.iterations)
+        result = label_propagation(g, iterations=args.iterations, store=store)
     elif args.algo == "triangles":
-        result = triangle_count(g)
+        result = triangle_count(g)  # single job — nothing to resume
     elif args.algo == "bfs":
-        result = bfs(g, root=args.root_vertex)
+        result = bfs(g, root=args.root_vertex, store=store)
     elif args.algo == "sssp":
-        result = sssp(g, root=args.root_vertex)
+        result = sssp(g, root=args.root_vertex, store=store)
     else:
-        result = spmv(g)
+        result = spmv(g)  # single join-agg pass — nothing to resume
 
     result.write.mode("overwrite").parquet(args.output)
     wall = time.monotonic() - t0

@@ -23,7 +23,9 @@ def write_reference_edges(edges: DataFrame, path: str, weighted: bool = False) -
     input format. Returns the record count. Sorted by (src, dst) for
     reproducible bytes."""
     cols = ["src", "dst"] + (["weight"] if weighted else [])
-    rows = edges.select(*cols).orderBy("src", "dst").collect()
+    # orderBy includes weight so parallel edges (which Graph preserves)
+    # serialize in a deterministic order — reproducible bytes
+    rows = edges.select(*cols).orderBy(*cols).collect()
     fmt = "<IIf" if weighted else "<II"
     with open(path, "wb") as f:
         for r in rows:

@@ -41,6 +41,7 @@ def bfs(
     broadcast_frontier_max: int = 1_000_000,
     return_parents: bool = False,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    store=None,
 ) -> DataFrame:
     """Returns DataFrame(id: long, dist: long[, parent: long]) for vertices
     reachable from ``root`` along DIRECTED edges, dist = hop count
@@ -48,18 +49,35 @@ def bfs(
     ``min(src)`` among the frontier predecessors, i.e. the reference's
     racy first-CAS-wins parent (bfs_numa.c:257) made deterministic;
     root's parent is itself (the reference marks roots the same way,
-    bfs_numa.c:84)."""
-    checkpoint = checkpointer or _default_checkpointer
+    bfs_numa.c:84).
+
+    ``store`` commits the full visited set per level; a relaunch rebuilds
+    the frontier from the max-dist rows of the latest committed level
+    (re-deriving at most one already-finished expansion)."""
+    if store is not None:
+        commit = store.checkpointer
+        scratch = _default_checkpointer  # intermediates stay in memory
+    else:
+        commit = scratch = checkpointer or _default_checkpointer
     edges = graph.edges.select("src", "dst")
 
-    visited = graph.spark.createDataFrame(
-        [(int(root), 0, int(root))], "id long, dist long, parent long"
-    )
-    visited = checkpoint(visited, 0)
-    frontier = visited.select("id")
-    frontier_size = 1
+    resumed = store.latest_iteration() if store is not None else None
+    if resumed is not None:
+        visited = store.load(resumed)
+        max_d = visited.agg(F.max("dist")).collect()[0][0]
+        frontier = visited.filter(F.col("dist") == max_d).select("id")
+        frontier_size = frontier.count()
+        start = resumed
+    else:
+        visited = graph.spark.createDataFrame(
+            [(int(root), 0, int(root))], "id long, dist long, parent long"
+        )
+        visited = commit(visited, 0)
+        frontier = visited.select("id")
+        frontier_size = 1
+        start = 0
 
-    for level in range(1, max_iterations + 1):
+    for level in range(start + 1, max_iterations + 1):
         f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
         nxt = (
             edges.join(f, edges["src"] == f["id"])
@@ -67,11 +85,11 @@ def bfs(
             .agg(F.min("src").alias("parent"))
             .join(visited.select("id"), "id", "left_anti")
         )
-        nxt = checkpoint(nxt, level)
+        nxt = scratch(nxt, level)
         frontier_size = nxt.count()
         if frontier_size == 0:
             break
-        visited = checkpoint(
+        visited = commit(
             visited.unionByName(
                 nxt.select("id", F.lit(level).cast("long").alias("dist"), "parent")
             ),

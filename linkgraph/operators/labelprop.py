@@ -41,15 +41,27 @@ def label_propagation(
     graph: Graph,
     iterations: int = 10,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    store=None,
 ) -> DataFrame:
-    """Returns DataFrame(id: long, label: long)."""
-    checkpoint = checkpointer or _default_checkpointer
+    """Returns DataFrame(id: long, label: long). ``store`` commits each
+    round's labels; a relaunch continues from the highest committed round
+    (fixed-round algorithm — the iteration index is the whole loop state)."""
+    if store is not None:
+        checkpoint = store.checkpointer
+    else:
+        checkpoint = checkpointer or _default_checkpointer
     sym = graph.symmetrized().edges.select("src", "dst")
 
-    labels = graph.vertices().select("id", F.col("id").alias("label"))
-    labels = checkpoint(labels, 0)
+    start = 0
+    resumed = store.latest_iteration() if store is not None else None
+    if resumed is not None:
+        labels = store.load(resumed).select("id", "label")
+        start = resumed
+    else:
+        labels = graph.vertices().select("id", F.col("id").alias("label"))
+        labels = checkpoint(labels, 0)
 
-    for it in range(1, iterations + 1):
+    for it in range(start + 1, iterations + 1):
         votes = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy("dst", "label")

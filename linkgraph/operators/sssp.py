@@ -39,25 +39,48 @@ def sssp(
     broadcast_frontier_max: int = 1_000_000,
     return_parents: bool = False,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    store=None,
 ) -> DataFrame:
     """Returns DataFrame(id: long, dist: double[, parent: long]), reached
     vertices only. ``return_parents`` adds the shortest-path-tree parent,
     tie-broken by min parent id (the reference tracks parents in the pull
     path, sssp_pushpull.c:87-90, with racy update order; ours is
-    deterministic: min over struct(nd, parent))."""
-    checkpoint = checkpointer or _default_checkpointer
+    deterministic: min over struct(nd, parent)).
+
+    ``store`` commits each round's merged state (which carries old_dist,
+    so the improved-rows frontier is reconstructible on relaunch)."""
+    if store is not None:
+        checkpoint = store.checkpointer
+    else:
+        checkpoint = checkpointer or _default_checkpointer
     edges = graph.edges.select("src", "dst", "weight").filter(
         F.col("src") != F.col("dst")  # sssp_pushpull.c:47
     )
 
-    dist = graph.spark.createDataFrame(
-        [(int(root), 0.0, int(root))], "id long, dist double, parent long"
-    )
-    dist = checkpoint(dist, 0)
-    frontier = dist.select("id", "dist")
-    frontier_size = 1
+    resumed = store.latest_iteration() if store is not None else None
+    if resumed is not None:
+        loaded = store.load(resumed)
+        dist = loaded.select("id", "dist", "parent")
+        if "old_dist" in loaded.columns:
+            frontier = loaded.filter(
+                F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist"))
+            ).select("id", "dist")
+        else:
+            frontier = loaded.select("id", "dist")
+        frontier_size = frontier.count()
+        if frontier_size == 0:
+            return dist if return_parents else dist.select("id", "dist")
+        start = resumed
+    else:
+        dist = graph.spark.createDataFrame(
+            [(int(root), 0.0, int(root))], "id long, dist double, parent long"
+        )
+        dist = checkpoint(dist, 0)
+        frontier = dist.select("id", "dist")
+        frontier_size = 1
+        start = 0
 
-    for it in range(1, max_iterations + 1):
+    for it in range(start + 1, max_iterations + 1):
         f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
         relax = (
             edges.join(f, edges["src"] == f["id"])

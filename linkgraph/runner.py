@@ -26,7 +26,6 @@ iteration is overwritten and redone).
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,15 +78,26 @@ class CheckpointStore:
         return out
 
     # ------------------------------------------------------------ resume
+    def _hadoop_fs(self):
+        """Hadoop FileSystem for the checkpoint root — works for any
+        scheme Spark can write (hdfs://, s3a://, local paths), unlike
+        os.listdir which would silently disable resume on a cluster."""
+        jvm = self.spark._jvm  # noqa: SLF001
+        hconf = self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        return jvm, path.getFileSystem(hconf)
+
     def latest_iteration(self) -> int | None:
         """Highest committed (has _SUCCESS) iteration, or None."""
-        run_dir = self._run_dir()
-        if not os.path.isdir(run_dir):
+        jvm, fs = self._hadoop_fs()
+        run_path = jvm.org.apache.hadoop.fs.Path(self._run_dir())
+        if not fs.exists(run_path):
             return None
         best = None
-        for name in os.listdir(run_dir):
-            if name.startswith("iter_") and os.path.exists(
-                os.path.join(run_dir, name, "_SUCCESS")
+        for status in fs.listStatus(run_path):
+            name = status.getPath().getName()
+            if name.startswith("iter_") and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
             ):
                 k = int(name.split("_")[1])
                 best = k if best is None else max(best, k)
@@ -97,4 +107,15 @@ class CheckpointStore:
         return self.spark.read.parquet(self._iter_dir(iteration))
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(self._metrics_dir())
+        """This run's lineage rows (filtered: the _metrics dir is shared
+        across algos/runs under one root); empty DataFrame before the
+        first checkpoint instead of PATH_NOT_FOUND."""
+        jvm, fs = self._hadoop_fs()
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(self._metrics_dir())):
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return (
+            self.spark.read.parquet(self._metrics_dir())
+            .filter(
+                (F.col("algo") == self.algo) & (F.col("run_id") == self.run_id)
+            )
+        )

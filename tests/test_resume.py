@@ -106,3 +106,54 @@ def test_wcc_resume_identical(spark, tmp_path):
     got2 = _arr(wcc(g, store=store), "comp", n)
     assert np.array_equal(got2, want)
     g.unpersist()
+
+
+def test_bfs_sssp_labelprop_resume(spark, tmp_path):
+    from linkgraph.operators import bfs, label_propagation, sssp
+
+    edges, n = zipf_edges(n=300, m=900)
+    g = make_graph(spark, edges, n)
+    root = int(edges[0, 0])
+
+    want_bfs = {(r["id"], r["dist"]) for r in bfs(g, root).collect()}
+    sb = CheckpointStore(spark, str(tmp_path / "b"), "bfs", "r1")
+    bfs(g, root, max_iterations=2, store=sb)          # "crash" after level 2
+    got_bfs = {(r["id"], r["dist"]) for r in bfs(g, root, store=sb).collect()}
+    assert got_bfs == want_bfs
+
+    want_sssp = {(r["id"], r["dist"]) for r in sssp(g, root).collect()}
+    ss = CheckpointStore(spark, str(tmp_path / "s"), "sssp", "r1")
+    sssp(g, root, max_iterations=2, store=ss)
+    got_sssp = {(r["id"], r["dist"]) for r in sssp(g, root, store=ss).collect()}
+    assert got_sssp == want_sssp
+    # resuming a finished run returns immediately with the same state
+    again = {(r["id"], r["dist"]) for r in sssp(g, root, store=ss).collect()}
+    assert again == want_sssp
+
+    want_lp = {(r["id"], r["label"]) for r in label_propagation(g, iterations=6).collect()}
+    sl = CheckpointStore(spark, str(tmp_path / "l"), "labelprop", "r1")
+    label_propagation(g, iterations=2, store=sl)
+    got_lp = {
+        (r["id"], r["label"])
+        for r in label_propagation(g, iterations=6, store=sl).collect()
+    }
+    assert got_lp == want_lp
+    g.unpersist()
+
+
+def test_metrics_scoped_and_empty(spark, tmp_path):
+    from linkgraph.operators import pagerank
+
+    edges, n = bridge_edges()
+    g = make_graph(spark, edges, n)
+    root = str(tmp_path / "shared")
+    s1 = CheckpointStore(spark, root, "pagerank", "runX")
+    s2 = CheckpointStore(spark, root, "pagerank", "runY")
+    # before any checkpoint: empty frame, not PATH_NOT_FOUND
+    assert s1.metrics().count() == 0
+    pagerank(g, iterations=2, store=s1)
+    pagerank(g, iterations=3, store=s2)
+    # each store sees only its own run's rows
+    assert s1.metrics().select("run_id").distinct().collect()[0]["run_id"] == "runX"
+    assert s2.metrics().select("run_id").distinct().collect()[0]["run_id"] == "runY"
+    g.unpersist()

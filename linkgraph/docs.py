@@ -107,6 +107,13 @@ def minhash_candidate_pairs(
     est_jaccard = fraction of matching signature positions. The bucket
     join is the only shuffle over pairs — never an all-pairs product.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) — "
+            f"otherwise trailing hashes are silently ignored (or, with "
+            f"bands > num_hashes, every doc lands in ONE bucket and the "
+            f"bucket join degenerates to an all-pairs product)"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes=num_hashes, k=k)
     banded = sig.select(
@@ -221,10 +228,11 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang_guess, lang_score) — stopword-marker language ID.
 
     Pure JVM expressions: per language, count marker-token hits in the
-    whitespace-tokenized text; guess = argmax hit count (ties → language
-    name order), score = hits/tokens. A heuristic, not a model — the
-    deterministic n-gram approach the engine contract asks for; swap in a
-    real classifier as a pandas UDF behind the same schema when available.
+    whitespace-tokenized text; guess = argmax hit count, ties broken by
+    declaration order in _LANG_MARKERS (so zero-hit documents get the
+    first language, "en"); score = hits/tokens. A heuristic, not a model —
+    the deterministic n-gram approach the engine contract asks for; swap
+    in a real classifier as a pandas UDF behind the same schema.
     """
     tok_expr = f"split(lower(trim({text_col})), '\\\\s+')"
     scores = []
@@ -235,10 +243,16 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
     n_toks = F.expr(f"size({tok_expr})")
     scored = documents.select("doc_id", n_toks.alias("_n"), *scores)
+    # struct comparison is field-by-field: (hits, -declaration_index) makes
+    # array_max prefer higher hits, then EARLIER language on ties
     pairs = F.array(
         *[
-            F.struct(F.col(f"_s_{lang}").alias("hits"), F.lit(lang).alias("lang"))
-            for lang in _LANG_MARKERS
+            F.struct(
+                F.col(f"_s_{lang}").alias("hits"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(_LANG_MARKERS)
         ]
     )
     best = F.array_max(pairs)

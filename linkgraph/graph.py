@@ -109,8 +109,9 @@ class Graph:
         the ``-u`` load path (init_all.c:102-106, nb_edges *= 2).
         Multi-edges are preserved, exactly as the reference does."""
         if "sym" not in self._cache:
+            extra = ["weight"] if "weight" in self.edges.columns else []
             rev = self.edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                F.col("dst").alias("src"), F.col("src").alias("dst"), *extra
             )
             sym = self.edges.unionByName(rev)
             sym = sym.repartition(self.num_partitions, "src").persist(

@@ -102,9 +102,10 @@ def frame_sample(media: DataFrame, every: int = 8) -> DataFrame:
     (metadata-driven — JVM-side explode; the per-frame decode would then
     run through :func:`extract_features`)."""
     vids = media.filter(F.col("kind") == "video")
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
-        ).alias("frame_idx"),
-    )
+    # zero-frame / metadata-less videos yield no rows instead of crashing
+    # on an illegal sequence(0, -1) boundary
+    frames = F.when(
+        F.col("meta.n_frames") > 0,
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every)),
+    ).otherwise(F.array().cast("array<int>"))
+    return vids.select("media_id", F.explode(frames).alias("frame_idx"))

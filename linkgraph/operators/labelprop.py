@@ -55,8 +55,10 @@ def label_propagation(
     start = 0
     resumed = store.latest_iteration() if store is not None else None
     if resumed is not None:
-        labels = store.load(resumed).select("id", "label")
-        start = resumed
+        # clamp to the requested round count (a store with more committed
+        # rounds must not answer for a smaller round count)
+        start = min(resumed, iterations)
+        labels = store.load(start).select("id", "label")
     else:
         labels = graph.vertices().select("id", F.col("id").alias("label"))
         labels = checkpoint(labels, 0)

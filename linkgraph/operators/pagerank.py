@@ -93,8 +93,11 @@ def pagerank(
     start = 0
     resumed = store.latest_iteration() if store is not None else None
     if resumed is not None:
-        ranks = store.load(resumed).select("id", "rank")
-        start = resumed
+        # clamp: a store holding MORE committed rounds than requested must
+        # not return the over-iterated state as the smaller-round answer
+        target = iterations if tol is None else max_iterations
+        start = min(resumed, target)
+        ranks = store.load(start).select("id", "rank")
     else:
         ranks = graph.vertices().select("id", F.lit(float(init_rank)).alias("rank"))
         ranks = checkpoint(ranks, 0)

@@ -58,6 +58,7 @@ def wcc(
     max_iterations: int = 200,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
     store=None,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Connected components of the UNDIRECTED view of ``graph``.
 
@@ -114,6 +115,14 @@ def wcc(
         comp = merged.select("id", "comp")
         if frontier.isEmpty():
             break
+    else:
+        if require_convergence:
+            raise RuntimeError(
+                f"wcc: not converged after {max_iterations} rounds (frontier "
+                f"non-empty) — raise max_iterations, or use "
+                f"wcc_large_small_star (O(log n) rounds) for high-diameter "
+                f"graphs; pass require_convergence=False to accept partial state"
+            )
 
     return comp
 
@@ -122,6 +131,7 @@ def wcc_large_small_star(
     graph: Graph,
     max_iterations: int = 64,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Large-star/small-star connected components (O(log n) rounds).
 
@@ -129,6 +139,11 @@ def wcc_large_small_star(
     alternating star operations contract it until every vertex points at
     its component minimum. Preferred at scale over hash-min when the graph
     diameter is large; output is identical to :func:`wcc`.
+
+    Raises RuntimeError if the edge set has not reached its star fixpoint
+    within ``max_iterations`` — the closing parent extraction is only
+    valid at the fixpoint, so falling through silently would return wrong
+    components.
     """
     checkpoint = checkpointer or _default_checkpointer
     # working edge set, symmetrized & deduped; self-loops are irrelevant
@@ -191,6 +206,13 @@ def wcc_large_small_star(
             break
         prev_fp = fp
         edges = new_edges
+    else:
+        if require_convergence:
+            raise RuntimeError(
+                f"wcc_large_small_star: star fixpoint not reached after "
+                f"{max_iterations} rounds — the parent extraction below is "
+                f"only valid at the fixpoint; raise max_iterations"
+            )
 
     # at fixpoint every non-root points at its component min via an edge to it
     parent = (

@@ -121,7 +121,7 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
-def bfs_sql(root: int = 0, max_depth: int = 64) -> str:
+def bfs_sql(root: int = 0, max_depth: int = 256) -> str:
     return f"""
 WITH RECURSIVE {EDGES_SQL},
 walk(id, dist) AS (
@@ -135,7 +135,7 @@ SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
 """
 
 
-def sssp_sql(root: int = 0, cost_cap: int = 400) -> str:
+def sssp_sql(root: int = 0, cost_cap: int = 2000) -> str:
     return f"""
 WITH RECURSIVE {EDGES_SQL},
 walk(id, dist) AS (
@@ -252,7 +252,7 @@ FROM vertices v LEFT JOIN corners c ON v.id = c.id
 """
 
 
-def bfs_parents_sql(root: int = 0, max_depth: int = 64) -> str:
+def bfs_parents_sql(root: int = 0, max_depth: int = 256) -> str:
     return f"""
 WITH RECURSIVE {EDGES_SQL},
 walk(id, dist) AS (

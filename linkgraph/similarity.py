@@ -65,22 +65,20 @@ def cosine_topk(
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 
 
-def hyperplane_buckets(
-    embeddings: DataFrame,
-    num_bits: int = 8,
-    dim: int = 64,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(vec_id, bucket) — random-hyperplane LSH bucket per vector.
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dimension from column {vec_col!r}")
+    return int(row["d"])
 
-    Plane p's component j is a deterministic pseudo-gaussian
-    (sum of three xxhash64-derived uniforms, centered) — reproducible on
-    any executor with no broadcast state. bit_p = sign(v · plane_p).
-    """
+
+def bucket_expr(num_bits: int, dim: int, seed: int, vec_col: str) -> str:
+    """SQL expression computing the random-hyperplane LSH bucket of a
+    vector column — row-local (no joins, no broadcast state). Plane p's
+    component j is a deterministic pseudo-gaussian (sum of three
+    xxhash64-derived uniforms, centered); bit_p = sign(v · plane_p)."""
+
     def plane_component(p: int, j: int) -> str:
-        # three uniform [0,1) draws from xxhash64(seed, p, j, t), summed
         draws = "+".join(
             f"(CAST(xxhash64({seed}, {p}, {j}, {t}) & 1048575 AS DOUBLE) / 1048576.0)"
             for t in range(3)
@@ -95,9 +93,26 @@ def hyperplane_buckets(
         bit_exprs.append(
             f"shiftleft(CAST(CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END AS BIGINT), {p})"
         )
-    bucket = " | ".join(bit_exprs)
+    return " | ".join(bit_exprs)
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    num_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) — random-hyperplane LSH bucket per vector.
+    ``dim`` defaults to the actual vector length (one first() probe);
+    an explicit wrong dim would crash under ANSI (index out of bounds)
+    or silently zero the planes with ANSI off."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.expr(bucket).alias("bucket")
+        F.col(id_col).alias("vec_id"),
+        F.expr(bucket_expr(num_bits, dim, seed, vec_col)).alias("bucket"),
     )
 
 
@@ -106,7 +121,7 @@ def lsh_cosine_topk(
     query_vec_id: int,
     k: int = 10,
     num_bits: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -116,11 +131,15 @@ def lsh_cosine_topk(
     Recall depends on num_bits (fewer bits → bigger buckets → higher
     recall, more compute). Returns (vec_id, sim) like :func:`cosine_topk`.
     """
-    buckets = hyperplane_buckets(
-        embeddings, num_bits=num_bits, dim=dim, seed=seed, id_col=id_col, vec_col=vec_col
-    )
-    with_b = embeddings.join(buckets, embeddings[id_col] == buckets["vec_id"]).select(
-        buckets["vec_id"], F.col(vec_col), F.col("bucket")
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    # bucket is a row-local expression — withColumn, NOT a self-join (a
+    # self-join here would shuffle the whole table just to reattach a
+    # column computed from the same row)
+    with_b = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.expr(bucket_expr(num_bits, dim, seed, vec_col)).alias("bucket"),
     )
     qb = with_b.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qv")

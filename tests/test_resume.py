@@ -99,7 +99,8 @@ def test_wcc_resume_identical(spark, tmp_path):
     g = make_graph(spark, edges, n)
     want = _arr(wcc(g), "comp", n)
     store = CheckpointStore(spark, str(tmp_path / "c5"), "wcc", "runE")
-    wcc(g, max_iterations=2, store=store)  # "crash" after 2 rounds
+    # "crash" after 2 rounds (require_convergence off: partial state is the point)
+    wcc(g, max_iterations=2, store=store, require_convergence=False)
     got = _arr(wcc(g, store=store), "comp", n)
     assert np.array_equal(got, want)
     # resuming a CONVERGED run returns immediately with the same state

@@ -121,6 +121,26 @@ def _q_spmv(spark, sf_dir):
     return spmv(_graph(spark, sf_dir)).select("id", F.round("y", 6).alias("y"))
 
 
+def _q_top_pagerank(spark, sf_dir):
+    """Top-20 ranked vertices — a TakeOrdered, not a full sort; the
+    reference's 'top-10' print is first-10-by-id (pagerank_simple.c:159),
+    this is the real top-k the engine adds."""
+    g = _graph(spark, sf_dir)
+    r = pagerank(g, iterations=10).select("id", F.round("rank", 6).alias("pr"))
+    return r.orderBy(F.desc("pr"), F.asc("id")).limit(20)
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """(out_deg, n_vertices) — the degree distribution, the first thing
+    anyone computes on a link graph."""
+    return (
+        _graph(spark, sf_dir)
+        .degrees()
+        .groupBy("out_deg")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
 # ------------------------------------------------- documents / embeddings
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -175,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_parents": _q_bfs_parents,
         "sssp": _q_sssp,
         "spmv": _q_spmv,
+        "top_pagerank": _q_top_pagerank,
+        "degree_histogram": _q_degree_histogram,
         "docs_dedup": _q_docs_dedup,
         "docs_token_stats": _q_docs_token_stats,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -200,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_parents": osql.bfs_parents_sql(root=0),
         "sssp": osql.sssp_sql(root=0),
         "spmv": osql.spmv_sql(),
+        "top_pagerank": osql.top_pagerank_sql(10, 20),
+        "degree_histogram": osql.degree_histogram_sql(),
         "docs_dedup": osql.docs_dedup_sql(),
         "docs_token_stats": osql.docs_token_stats_sql(),
         "ngram_jaccard": osql.ngram_jaccard_sql(k=5, min_jaccard=0.5),

@@ -295,3 +295,25 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
        CAST(MAX(size) AS BIGINT) AS max_size
 FROM census
 """
+
+
+def top_pagerank_sql(iterations: int = 10, k: int = 20) -> str:
+    inner = pagerank_sql(iterations).strip()
+    return f"""
+SELECT id, pr FROM (
+{inner}
+) ORDER BY pr DESC, id ASC LIMIT {k}
+"""
+
+
+def degree_histogram_sql() -> str:
+    return f"""
+WITH {EDGES_SQL},
+deg AS (
+    SELECT v.id, CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg
+    FROM vertices v
+    LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.src
+)
+SELECT out_deg, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY out_deg
+"""

@@ -144,6 +144,13 @@ class Graph:
             self._cache["canon"] = canon
         return self._cache["canon"]
 
+    def num_edges(self) -> int:
+        """Edge count (nb_edges, init_all.c:821), cached — the direction
+        heuristic's denominator (bfs_simple.c:191: nb_edges/20)."""
+        if "num_edges" not in self._cache:
+            self._cache["num_edges"] = self.edges.count()
+        return self._cache["num_edges"]
+
     def degrees(self) -> DataFrame:
         """(id, out_deg, in_deg) over the FULL dense vertex set (isolated
         vertices included with degree 0) — count_degree analog

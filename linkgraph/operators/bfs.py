@@ -8,16 +8,21 @@ reference's 1-based dist array (dist[ROOT]=1, bfs_simple.c:247) — a fixed
 reference's parent choice is CAS-race nondeterministic (bfs_numa.c:257)
 while our ``groupBy(dst).agg(min(src))`` parents are deterministic.
 
-The reference's push↔pull switch at 5% of edges (bfs_simple.c:191-197) is
-a *physical* choice; its Spark analog is broadcast-vs-shuffle join of the
-frontier. We hint ``broadcast(frontier)`` while the frontier is small
-(small frontier = push over a worklist) and let the planner fall back to a
-shuffle join when it grows (large frontier = pull/dense pass); AQE makes
-the same call from runtime stats when sizes are off-estimate.
+Direction switching replicates the reference's degree-weighted rule
+(bfs_simple.c:191-197): broadcast the frontier (push) while
+``frontier_size + frontier_out_degree <= nb_edges/20``, else shuffle join
+(pull/dense pass) — see linkgraph.operators.direction. The out-degree sum
+rides the same per-level aggregate that already counts the frontier (one
+join against the persisted degrees table), so the statistic is free.
 
 Returned vertices: REACHED ones only (id, dist) — the sparse contract;
 unreached vertices are absent rather than carrying the reference's 0
 sentinel (bfs_simple.c:49-56 counts dist != 0).
+
+Durable runs commit PER-LEVEL DELTAS (the newly discovered rows), not the
+full visited set: checkpoint I/O is O(V) total across the run instead of
+O(V · diameter); resume unions committed levels in one multi-path scan
+(CheckpointStore.load_upto).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
+from linkgraph.operators.direction import use_broadcast_frontier
 
 
 def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
@@ -51,50 +57,68 @@ def bfs(
     root's parent is itself (the reference marks roots the same way,
     bfs_numa.c:84).
 
-    ``store`` commits the full visited set per level; a relaunch rebuilds
-    the frontier from the max-dist rows of the latest committed level
-    (re-deriving at most one already-finished expansion)."""
+    ``store`` commits each level's DELTA (newly discovered rows); a
+    relaunch unions committed levels and continues from the deepest one.
+    A store holding more committed levels than ``max_iterations`` is
+    clamped: only levels ≤ max_iterations are loaded, so the bound is
+    honored across resumes."""
     if store is not None:
         commit = store.checkpointer
         scratch = _default_checkpointer  # intermediates stay in memory
     else:
         commit = scratch = checkpointer or _default_checkpointer
     edges = graph.edges.select("src", "dst")
+    n_edges = graph.num_edges()
+    deg = graph.degrees().select("id", "out_deg")
+
+    def frontier_stats(f: DataFrame) -> tuple[int, int]:
+        """(rows, out-degree sum) in ONE aggregate — the enqueue-time
+        degree bookkeeping of buffer.c:272-282, batched."""
+        row = (
+            f.join(deg, "id", "left")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("out_deg"), F.lit(0)).alias("d"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["d"])
 
     resumed = store.latest_iteration() if store is not None else None
     if resumed is not None:
-        visited = store.load(resumed)
-        max_d = visited.agg(F.max("dist")).collect()[0][0]
-        frontier = visited.filter(F.col("dist") == max_d).select("id")
-        frontier_size = frontier.count()
-        start = resumed
+        start = min(resumed, max_iterations)  # honor the bound across resumes
+        visited = store.load_upto(start)
+        frontier = visited.filter(F.col("dist") == start).select("id")
+        frontier_size, frontier_degree = frontier_stats(frontier)
     else:
-        visited = graph.spark.createDataFrame(
+        seed = graph.spark.createDataFrame(
             [(int(root), 0, int(root))], "id long, dist long, parent long"
         )
-        visited = commit(visited, 0)
+        visited = commit(seed, 0)
         frontier = visited.select("id")
-        frontier_size = 1
+        frontier_size, frontier_degree = frontier_stats(frontier)
         start = 0
 
     for level in range(start + 1, max_iterations + 1):
-        f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
+        if frontier_size == 0:
+            break
+        push = use_broadcast_frontier(
+            frontier_size, frontier_degree, n_edges, row_cap=broadcast_frontier_max
+        )
+        f = F.broadcast(frontier) if push else frontier
         nxt = (
             edges.join(f, edges["src"] == f["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("src").alias("parent"))
             .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(level).cast("long").alias("dist"), "parent")
         )
-        nxt = scratch(nxt, level)
-        frontier_size = nxt.count()
+        # delta commit: only the newly discovered rows hit the store
+        nxt = commit(nxt, level) if store is not None else scratch(nxt, level)
+        frontier = nxt.select("id")
+        frontier_size, frontier_degree = frontier_stats(frontier)
         if frontier_size == 0:
             break
-        visited = commit(
-            visited.unionByName(
-                nxt.select("id", F.lit(level).cast("long").alias("dist"), "parent")
-            ),
-            level,
-        )
-        frontier = nxt.select("id")
+        visited = scratch(visited.unionByName(nxt), level)
 
     return visited if return_parents else visited.select("id", "dist")

@@ -76,9 +76,14 @@ def pagerank(
     so every iteration is a committed resume point). Per-iteration job
     latency — not compute — dominates small/medium states, so unrolling
     cuts wall time nearly proportionally; the convergence test then fires
-    every ``unroll`` iterations against the last checkpointed state (an
-    over-bound of the consecutive delta: never converges early, at most
-    ``unroll - 1`` extra iterations of extra work).
+    every ``unroll`` iterations against the last checkpointed state. The
+    blocked L∞ delta over ``unroll`` steps upper-bounds the final
+    consecutive-step delta only when per-coordinate deltas shrink
+    monotonically — for a general contraction the block delta can in
+    principle undershoot one intermediate step, so convergence is
+    guaranteed within a small constant factor of ``tol`` (pass
+    ``tol/unroll`` for a provable per-step bound); in the worst case the
+    run does at most ``unroll - 1`` extra iterations of work.
     """
     if store is not None:
         checkpoint = store.checkpointer

@@ -5,11 +5,14 @@ from the active frontier (sssp_algo, sssp_pushpull.c:39-56), self-loops
 skipped (the ``dst_id != n_id`` guard at sssp_pushpull.c:47), iterate until
 no distance improves. NOTE the reference's push path hardcodes weight +1
 (sssp_pushpull.c:46) while the pull path uses real weights
-(sssp_pushpull.c:81) — we implement the WEIGHTED semantics (pull), with
-weights defaulting to the reference's synthetic ``src%10 + dst%10``
-(init_all.c:661-667). The racy ``writeMin`` becomes
+(sssp_pushpull.c:81) — BOTH are exposed: ``weighted=True`` (default) is
+the pull semantics with weights defaulting to the reference's synthetic
+``src%10 + dst%10`` (init_all.c:661-667); ``weighted=False`` is the push
+semantics (+1 per relaxation). The racy ``writeMin`` becomes
 ``groupBy(dst).agg(min)``; the improved-rows set is the next frontier
-(the reference's worklist re-entry).
+(the reference's worklist re-entry). Direction switching uses the
+degree-weighted E/20 rule (sssp_pushpull.c:169-180) — see
+linkgraph.operators.direction.
 
 Distances: root = 0; only reached vertices returned. Parent trees are not
 reported (nondeterministic in the reference); the validation invariant
@@ -26,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
+from linkgraph.operators.direction import use_broadcast_frontier
 
 
 def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
@@ -38,6 +42,7 @@ def sssp(
     max_iterations: int = 10_000,
     broadcast_frontier_max: int = 1_000_000,
     return_parents: bool = False,
+    weighted: bool = True,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
     store=None,
 ) -> DataFrame:
@@ -47,18 +52,47 @@ def sssp(
     path, sssp_pushpull.c:87-90, with racy update order; ours is
     deterministic: min over struct(nd, parent)).
 
+    ``weighted=False`` replicates the reference's PUSH-path semantics
+    exactly: every relaxation costs +1 (sssp_pushpull.c:46), i.e. hop
+    distances computed through the relaxation machinery rather than the
+    level machinery — the reference's push and pull paths genuinely
+    disagree on this, so both are exposed. ``weighted=True`` (default) is
+    the pull-path semantics (real weights, sssp_pushpull.c:81) with
+    weights defaulting to the synthetic src%10+dst%10.
+
     ``store`` commits each round's merged state (which carries old_dist,
-    so the improved-rows frontier is reconstructible on relaunch)."""
+    so the improved-rows frontier is reconstructible on relaunch); a store
+    holding more rounds than ``max_iterations`` is clamped to the bound."""
     if store is not None:
         checkpoint = store.checkpointer
     else:
         checkpoint = checkpointer or _default_checkpointer
-    edges = graph.edges.select("src", "dst", "weight").filter(
-        F.col("src") != F.col("dst")  # sssp_pushpull.c:47
-    )
+    if weighted:
+        edges = graph.edges.select("src", "dst", "weight")
+    else:
+        # reference push-path parity: every relaxation costs +1 regardless
+        # of the stored weight (sssp_pushpull.c:46 hardcodes `+ 1`)
+        edges = graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    edges = edges.filter(F.col("src") != F.col("dst"))  # sssp_pushpull.c:47
+    n_edges = graph.num_edges()
+    deg = graph.degrees().select("id", "out_deg")
+
+    def frontier_stats(f: DataFrame) -> tuple[int, int]:
+        """(rows, out-degree sum) in one aggregate — the degree-weighted
+        switch statistic (sssp_pushpull.c:169-180 via buffer.c:272-282)."""
+        row = (
+            f.join(deg, "id", "left")
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("out_deg"), F.lit(0)).alias("d"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["d"])
 
     resumed = store.latest_iteration() if store is not None else None
     if resumed is not None:
+        resumed = min(resumed, max_iterations)  # honor the bound across resumes
         loaded = store.load(resumed)
         dist = loaded.select("id", "dist", "parent")
         if "old_dist" in loaded.columns:
@@ -67,7 +101,7 @@ def sssp(
             ).select("id", "dist")
         else:
             frontier = loaded.select("id", "dist")
-        frontier_size = frontier.count()
+        frontier_size, frontier_degree = frontier_stats(frontier)
         if frontier_size == 0:
             return dist if return_parents else dist.select("id", "dist")
         start = resumed
@@ -77,11 +111,14 @@ def sssp(
         )
         dist = checkpoint(dist, 0)
         frontier = dist.select("id", "dist")
-        frontier_size = 1
+        frontier_size, frontier_degree = frontier_stats(frontier)
         start = 0
 
     for it in range(start + 1, max_iterations + 1):
-        f = F.broadcast(frontier) if frontier_size <= broadcast_frontier_max else frontier
+        push = use_broadcast_frontier(
+            frontier_size, frontier_degree, n_edges, row_cap=broadcast_frontier_max
+        )
+        f = F.broadcast(frontier) if push else frontier
         relax = (
             edges.join(f, edges["src"] == f["id"])
             .select(
@@ -120,7 +157,7 @@ def sssp(
         improved = merged.filter(
             F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist"))
         ).select("id", "dist")
-        frontier_size = improved.count()
+        frontier_size, frontier_degree = frontier_stats(improved)
         dist = merged.select("id", "dist", "parent")
         if frontier_size == 0:
             break

@@ -122,6 +122,12 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
 
 
 def bfs_sql(root: int = 0, max_depth: int = 256) -> str:
+    """``max_depth`` bounds the recursive walk; it must exceed the graph's
+    true BFS eccentricity from ``root`` or the oracle silently truncates.
+    The derive.py gate graph is a hashy near-random digraph over V=2048
+    with ~12 distinct out-neighbors per vertex — diameter ~4; 256 is a
+    >40x margin, asserted against the engine in
+    tests/test_oracle_bounds.py."""
     return f"""
 WITH RECURSIVE {EDGES_SQL},
 walk(id, dist) AS (
@@ -136,6 +142,14 @@ SELECT id, MIN(dist) AS dist FROM walk GROUP BY id
 
 
 def sssp_sql(root: int = 0, cost_cap: int = 2000) -> str:
+    """``cost_cap`` prunes the recursive walk; it must exceed the true
+    max shortest distance from ``root`` or the oracle silently truncates.
+    Bound for the derive.py gate graph: weights are src%10 + dst%10 ≤ 18
+    (graph.synthetic_weight, reference init_all.c:661-667) and the BFS
+    eccentricity is ~4 (see bfs_sql), so true distances are ≲ 72;
+    2000 is a >25x margin, asserted against the engine in
+    tests/test_oracle_bounds.py. If derive.py's weight rule or vertex
+    count changes, re-derive this cap."""
     return f"""
 WITH RECURSIVE {EDGES_SQL},
 walk(id, dist) AS (

@@ -106,6 +106,32 @@ class CheckpointStore:
     def load(self, iteration: int) -> DataFrame:
         return self.spark.read.parquet(self._iter_dir(iteration))
 
+    def committed_iterations(self) -> list[int]:
+        """All committed (has _SUCCESS) iterations, ascending."""
+        jvm, fs = self._hadoop_fs()
+        run_path = jvm.org.apache.hadoop.fs.Path(self._run_dir())
+        if not fs.exists(run_path):
+            return []
+        out = []
+        for status in fs.listStatus(run_path):
+            name = status.getPath().getName()
+            if name.startswith("iter_") and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+            ):
+                out.append(int(name.split("_")[1]))
+        return sorted(out)
+
+    def load_upto(self, iteration: int) -> DataFrame:
+        """Union of all committed iterations ≤ ``iteration`` — the resume
+        path for DELTA-committed kernels (BFS commits each level's newly
+        discovered rows, not the whole visited set; see bfs.py). One
+        multi-path parquet scan, not an N-way union plan, so a
+        diameter-deep run resumes without a giant logical plan."""
+        its = [k for k in self.committed_iterations() if k <= iteration]
+        if not its:
+            raise ValueError(f"no committed iterations ≤ {iteration}")
+        return self.spark.read.parquet(*[self._iter_dir(k) for k in its])
+
     def metrics(self) -> DataFrame:
         """This run's lineage rows (filtered: the _metrics dir is shared
         across algos/runs under one root); empty DataFrame before the

@@ -117,6 +117,15 @@ def _q_sssp(spark, sf_dir):
     )
 
 
+def _q_sssp_hops(spark, sf_dir):
+    """Reference PUSH-path parity: +1 per relaxation (sssp_pushpull.c:46)
+    through the relaxation machinery — hop distances, so bfs_sql is the
+    oracle."""
+    return sssp(_graph(spark, sf_dir), root=0, weighted=False).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _q_spmv(spark, sf_dir):
     return spmv(_graph(spark, sf_dir)).select("id", F.round("y", 6).alias("y"))
 
@@ -166,14 +175,18 @@ def _q_knn_cosine(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
-# rows-only checks (hash functions are engine-specific; correctness is
-# asserted in tests/ via planted fixtures and invariants instead)
 def _q_minhash_pairs(spark, sf_dir):
     return docs.minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
 def _q_simhash(spark, sf_dir):
     return docs.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Composed near-dup stage: LSH candidates → exact-jaccard verify →
+    connected components → keep-list."""
+    return docs.dedup_clusters(_docs(spark, sf_dir))
 
 
 def _q_lsh_knn(spark, sf_dir):
@@ -194,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "bfs_parents": _q_bfs_parents,
         "sssp": _q_sssp,
+        "sssp_hops": _q_sssp_hops,
         "spmv": _q_spmv,
         "top_pagerank": _q_top_pagerank,
         "degree_histogram": _q_degree_histogram,
@@ -203,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "lsh_knn": _q_lsh_knn,
     }
 
@@ -221,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs": osql.bfs_sql(root=0),
         "bfs_parents": osql.bfs_parents_sql(root=0),
         "sssp": osql.sssp_sql(root=0),
+        "sssp_hops": osql.bfs_sql(root=0),
         "spmv": osql.spmv_sql(),
         "top_pagerank": osql.top_pagerank_sql(10, 20),
         "degree_histogram": osql.degree_histogram_sql(),
@@ -228,7 +244,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": osql.docs_token_stats_sql(),
         "ngram_jaccard": osql.ngram_jaccard_sql(k=5, min_jaccard=0.5),
         "knn_cosine": osql.knn_cosine_sql(query_vec_id=0, k=10),
-        # minhash_pairs / simhash / lsh_knn: intentionally no SQL oracle —
-        # they hinge on xxhash64, which DuckDB cannot reproduce; the driver
-        # records rows-only checks and tests/ pin their semantics.
+        # the near-dup family hashes with the first 60 bits of md5
+        # (docs._md5_60_sql) precisely so DuckDB reproduces every value —
+        # no rows-only checks left in the gate
+        "minhash_pairs": osql.minhash_pairs_sql(),
+        "simhash": osql.simhash_sql(),
+        "dedup_clusters": osql.dedup_clusters_sql(),
     }

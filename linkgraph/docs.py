@@ -3,24 +3,69 @@ engine (deduplication, text quality, fingerprinting) over a
 ``documents(doc_id, text, lang, source, n_chars)`` table.
 
 Everything in the gate path is built-in Spark SQL expressions (JVM-side,
-whole-stage-codegen); the near-dup operators use xxhash64 (JVM built-in)
-for shingle hashing — no Python in any hot path.
+whole-stage-codegen) — no Python in any hot path.
+
+Hashing is ENGINE-NEUTRAL by construction: the fingerprint primitive is
+the first 60 bits of md5 (``_md5_60_sql``), which Spark computes as
+``conv(substr(md5(x),1,15),16,10)`` and DuckDB as
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — identical values, so
+every near-dup operator (minhash, simhash, LSH buckets, dedup clusters)
+has a full value-checked SQL oracle instead of a rows-only check.
+MinHash uses ONE md5 per shingle plus a universal affine family
+``h_i(x) = (a_i·x + b_i) mod P`` (Carter-Wegman; P = 2^31-1) — k hashes
+for the price of one digest, all 64-bit-safe integer arithmetic.
 
 Scale notes: exact dedup is one hash-aggregate on the full text (at 100 TB
 one would group on sha2(text) first to shrink shuffle rows — provided as
 ``exact_dedup(by_hash=True)``). MinHash/LSH is the scale path for
 near-dup: shingle → k minhashes → b bands → bucket join; candidate pairs
 are verified with exact Jaccard only within buckets, never all-pairs.
+Boilerplate-heavy corpora (license headers) produce pathological buckets
+whose self-join is O(n²) — ``max_bucket_size`` caps the fan-in and
+``minhash_dropped_buckets`` reports exactly what was skipped.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "that", "for")
 
 _TOKENIZE = "split(lower(trim(text)), '\\\\s+')"
+
+# Carter-Wegman universal-hash modulus: 2^31 - 1 (Mersenne prime). Keeps
+# a_i·x + b_i < 2^62 — exact in BIGINT arithmetic in BOTH engines.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _md5_60_sql(inner_sql: str) -> str:
+    """Spark SQL fragment: first 60 bits of md5(``inner_sql``) as BIGINT.
+    60 bits (15 hex chars) so the value is always positive in an int64;
+    DuckDB computes the identical value (see module docstring)."""
+    return f"CAST(conv(substr(md5({inner_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _md5_60(inner_sql: str) -> Column:
+    return F.expr(_md5_60_sql(inner_sql))
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine family
+    h_i(x) = (a_i·x + b_i) mod P, derived from md5 of the (seed, i) label
+    so the Spark plan, the SQL oracle generator, and any NumPy check all
+    reproduce the same constants without sharing state."""
+    params = []
+    for i in range(num_hashes):
+        a = (
+            int(hashlib.md5(f"mh-a:{seed}:{i}".encode()).hexdigest()[:15], 16)
+            % (MINHASH_PRIME - 1)
+        ) + 1  # a ∈ [1, P-1]: never the degenerate zero multiplier
+        b = int(hashlib.md5(f"mh-b:{seed}:{i}".encode()).hexdigest()[:15], 16) % MINHASH_PRIME
+        params.append((a, b))
+    return params
 
 
 def exact_dedup(documents: DataFrame, by_hash: bool = False) -> DataFrame:
@@ -76,17 +121,23 @@ def shingles(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 32, k: int = 5) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, k: int = 5, seed: int = 42
+) -> DataFrame:
     """(doc_id, sig: array<long>) — per-doc minhash signature.
 
-    h_i(s) = xxhash64(shingle, seed=i); sig[i] = min over the doc's
-    shingles. One explode + one groupBy — the signature aggregate is
-    ``array(min(h_0), ..., min(h_{n-1}))``, all map-side combinable.
+    One md5 per shingle (x = first 60 bits, reduced mod P), then
+    h_i(x) = (a_i·x + b_i) mod P per hash — sig[i] = min over the doc's
+    shingles. One explode + one groupBy; the signature aggregate is
+    ``array(min(h_0), ..., min(h_{n-1}))``, all map-side combinable, and
+    every value is reproducible in ANSI SQL (oracle_sql.minhash_pairs_sql).
     """
-    sh = shingles(documents, k=k)
+    sh = shingles(documents, k=k).withColumn(
+        "x", _md5_60("shingle") % MINHASH_PRIME
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
@@ -94,19 +145,12 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, k: int = 5) -
     )
 
 
-def minhash_candidate_pairs(
-    documents: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 8,
-    k: int = 5,
+def _banded_buckets(
+    documents: DataFrame, num_hashes: int, bands: int, k: int, seed: int
 ) -> DataFrame:
-    """LSH near-dup candidates: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
-
-    Signatures are split into ``bands`` bands of num_hashes/bands rows;
-    docs sharing any band land in a bucket; bucket self-join emits pairs.
-    est_jaccard = fraction of matching signature positions. The bucket
-    join is the only shuffle over pairs — never an all-pairs product.
-    """
+    """(doc_id, sig, band, bucket) — one row per (doc, band); bucket is the
+    60-bit md5 of the band's comma-joined signature values (an 8-byte
+    shuffle key in BOTH engines, instead of a variable-width string)."""
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes}) — "
@@ -115,26 +159,86 @@ def minhash_candidate_pairs(
             f"bucket join degenerates to an all-pairs product)"
         )
     rows = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes=num_hashes, k=k)
-    banded = sig.select(
+    sig = minhash_signatures(documents, num_hashes=num_hashes, k=k, seed=seed)
+    band_key = lambda b: F.expr(  # noqa: E731
+        _md5_60_sql(
+            "concat_ws(',', "
+            + ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+            + ")"
+        )
+    )
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _capped(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, bucket) groups larger than the cap BEFORE the self-join
+    — the SCALING.md cliff-#3 guard: one boilerplate bucket (a license
+    header shared by n docs) otherwise costs O(n²) join rows."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    return (
+        banded.join(sizes, ["band", "bucket"])
+        .filter(F.col("bsz") <= max_bucket_size)
+        .drop("bsz")
+    )
+
+
+def minhash_dropped_buckets(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(band, bucket, size) for every bucket the cap excluded — the audit
+    trail for what minhash_candidate_pairs skipped. Empty when nothing was
+    dropped. Persist/inspect this whenever the cap is in play; silently
+    capped coverage reads as 'covered everything' when it didn't."""
+    banded = _banded_buckets(documents, num_hashes, bands, k, seed)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("size"))
+    if max_bucket_size is None:
+        return sizes.filter(F.lit(False))
+    return sizes.filter(F.col("size") > max_bucket_size)
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """LSH near-dup candidates: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+
+    Signatures are split into ``bands`` bands of num_hashes/bands rows;
+    docs sharing any band land in a bucket; bucket self-join emits pairs.
+    est_jaccard = fraction of matching signature positions. The bucket
+    join is the only shuffle over pairs — never an all-pairs product —
+    and buckets larger than ``max_bucket_size`` are excluded from the
+    join entirely (boilerplate guard; see minhash_dropped_buckets for the
+    audit of what was skipped). Docs in an oversized bucket can still
+    pair through their other, selective bands — the drop costs recall
+    only for pairs whose EVERY matching band is boilerplate.
+    """
+    banded = _capped(
+        _banded_buckets(documents, num_hashes, bands, k, seed), max_bucket_size
+    )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )
@@ -153,15 +257,20 @@ def minhash_candidate_pairs(
     return pairs.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit SimHash over whitespace tokens.
+def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
+    """(doc_id, simhash: long) — 60-bit SimHash over whitespace tokens.
 
-    Per token, xxhash64 gives 64 bits; each bit votes +1/-1 weighted by
-    term frequency; the sign vector is the fingerprint. Expressed as one
-    explode + groupBy with per-bit conditional sums (JVM expressions)."""
+    Per token, md5 gives the fingerprint bits (60 = what one md5 yields as
+    a positive int64 — see _md5_60_sql; the width is a quality/cost knob,
+    not a semantic constant); each bit votes +1/-1 weighted by term
+    frequency; the sign vector is the fingerprint. Expressed as one
+    explode + groupBy with per-bit conditional sums (JVM expressions),
+    value-reproducible in the SQL oracle (oracle_sql.simhash_sql)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = documents.select(
         "doc_id", F.explode(F.expr(_TOKENIZE)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _md5_60("tok"))
     votes = [
         F.sum(
             F.when(F.expr(f"shiftright(h, {i}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -182,15 +291,36 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, k: int = 5, min_jaccard: float = 0.5
+    documents: DataFrame,
+    k: int = 5,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over shingle sets, restricted to pairs sharing
     ≥1 shingle (inverted-index join — no all-pairs product):
-    (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ min_jaccard."""
+    (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ min_jaccard.
+
+    ``max_doc_freq`` drops stop-shingles (those occurring in more than
+    that many docs) from the INVERTED INDEX only — the hub guard for
+    boilerplate corpora, where one license-header shingle otherwise
+    drives an O(n²) join. Set sizes still count every shingle but
+    intersections flowing through dropped shingles are not counted, so
+    with the cap set the reported jaccard is a LOWER BOUND and pairs
+    whose only shared shingles are stop-shingles are missed entirely
+    (recall traded, never precision). Default None = exact (the
+    oracle-checked gate configuration)."""
     sh = shingles(documents, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
-    b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    idx = sh
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        idx = (
+            sh.join(df_counts, "shingle")
+            .filter(F.col("df") <= max_doc_freq)
+            .drop("df")
+        )
+    a = idx.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    b = idx.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -212,6 +342,136 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ----------------------------------------------------------- dedup clusters
+def _components_over_pairs(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """(doc_id, cluster_id) — connected components of the PAIR graph only
+    (vertices = docs appearing in ≥1 pair; callers attach singletons).
+
+    Hash-min label propagation to fixpoint, the same plan as
+    operators/wcc.py (writeMin ≡ groupBy().min(), wcc.c:30-42) but over
+    arbitrary sparse ids: no dense [0, V) vertex set is materialized, so
+    the iteration state is O(duplicated docs), not O(corpus). Duplicate
+    clusters are shallow (near-cliques), so this converges in ~log(max
+    cluster diameter) rounds — 50 is a runaway bound, not a tuning knob.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        pushed = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("pushed"))
+        )
+        merged = (
+            labels.join(pushed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").alias("old"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("pushed"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("cluster_id") < F.col("old")).count()
+        labels = merged.select("doc_id", "cluster_id")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"_components_over_pairs did not converge in {max_iterations} rounds — "
+        f"pathological pair graph (diameter > 2^{max_iterations}?)"
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    min_jaccard: float = 0.6,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(doc_id, cluster_id, keep) — the actual deliverable of a
+    training-data dedup stage: WHICH DOC TO KEEP, not candidate pairs.
+
+    Composition (each stage is an operator this module already ships):
+      1. minhash LSH candidates  (recall stage, bucket join, capped)
+      2. exact n-gram Jaccard verify on candidates only (precision stage;
+         the shingle index is first semi-joined down to candidate docs,
+         so the verify cost scales with duplicates found, not corpus size)
+      3. connected components over verified pairs (hash-min fixpoint —
+         transitive closure: A≈B, B≈C ⇒ one cluster even if A,C never
+         paired), sparse-id, O(duplicates) state
+      4. keep-list: cluster_id = min doc_id of the cluster (hash-min gives
+         exactly that), keep = (doc_id == cluster_id); docs in no verified
+         pair are their own singleton cluster with keep = true.
+    """
+    cand = minhash_candidate_pairs(
+        documents,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    ).select("doc_a", "doc_b")
+
+    # exact verify, restricted to candidate docs before the index join
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(documents, k=k).join(cand_docs, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+        .join(cand, ["doc_a", "doc_b"])  # candidates only
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    verified = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            >= min_jaccard
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    comp = _components_over_pairs(verified)
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            (
+                F.col("doc_id")
+                == F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            ).alias("keep"),
+        )
     )
 
 

@@ -12,8 +12,64 @@ because summation order differs between engines.
 from __future__ import annotations
 
 from linkgraph.derive import EDGES_SQL, NUM_VERTICES
+from linkgraph.docs import MINHASH_PRIME, minhash_params
 
 _TELEPORT = f"(0.15 / {NUM_VERTICES})"  # (1-0.85)/N
+
+
+def _md5_60_duck(inner_sql: str) -> str:
+    """DuckDB twin of linkgraph.docs._md5_60_sql — identical 60-bit value
+    (verified value-for-value in tests/test_docs.py::test_md5_60_parity)."""
+    return f"CAST('0x' || substr(md5({inner_sql}), 1, 15) AS BIGINT)"
+
+
+def _shingles_cte(k: int) -> str:
+    """toks + sh CTE bodies — the DuckDB twin of docs.shingles()."""
+    return f"""toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i+1:i+{k}], ' ') AS shingle
+    FROM toks, UNNEST(generate_series(0, greatest(len(t)-{k}, 0))) AS u(i)
+)"""
+
+
+def _minhash_ctes(
+    num_hashes: int, bands: int, k: int, seed: int, max_bucket_size: int | None
+) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` + ``sig`` — the DuckDB
+    twin of docs.minhash_candidate_pairs' bucket join (same md5-affine
+    hash family, same band buckets, same bucket-size cap)."""
+    rows = num_hashes // bands
+    params = minhash_params(num_hashes, seed)
+    P = MINHASH_PRIME
+    sig_cols = ", ".join(
+        f"MIN(({a} * x + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = []
+    for b_idx in range(bands):
+        cols = ", ".join(f"h{b_idx * rows + r}" for r in range(rows))
+        band_key = _md5_60_duck("concat_ws(',', " + cols + ")")
+        band_rows.append(
+            f"SELECT doc_id, {b_idx} AS band, {band_key} AS bucket FROM sig"
+        )
+    cap_filter = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket_size}"
+        if max_bucket_size is not None
+        else ""
+    )
+    return f"""{_shingles_cte(k)},
+hb AS (
+    SELECT doc_id, {_md5_60_duck('shingle')} % {P} AS x FROM sh
+),
+sig AS (SELECT doc_id, {sig_cols} FROM hb GROUP BY doc_id),
+banded AS ({" UNION ALL ".join(band_rows)}),
+capped AS (SELECT * FROM banded {cap_filter}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
 
 
 def degrees_sql() -> str:
@@ -176,6 +232,91 @@ LEFT JOIN (
 
 
 # ----------------------------------------------------------------- documents
+def minhash_pairs_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> str:
+    est_terms = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH {_minhash_ctes(num_hashes, bands, k, seed, max_bucket_size)}
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST({est_terms} AS DOUBLE) / {float(num_hashes)}, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+
+def simhash_sql(bits: int = 60) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+),
+hashed AS (SELECT doc_id, {_md5_60_duck('tok')} AS h FROM tk),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def dedup_clusters_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    min_jaccard: float = 0.6,
+    max_bucket_size: int | None = 10_000,
+) -> str:
+    """Candidates (minhash LSH) → exact-jaccard verify → recursive-CTE
+    connected components → keep-list — the DuckDB twin of
+    docs.dedup_clusters."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(num_hashes, bands, k, seed, max_bucket_size)},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    JOIN inter ON inter.doc_a = p.doc_a AND inter.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {min_jaccard}
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach(id, lbl) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.dst AS id, r.lbl FROM sym s JOIN reach r ON s.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def docs_dedup_sql() -> str:
     return """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n

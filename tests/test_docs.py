@@ -8,8 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from linkgraph.docs import (
+    dedup_clusters,
     exact_dedup,
     minhash_candidate_pairs,
+    minhash_dropped_buckets,
     ngram_jaccard_pairs,
     simhash,
     token_stats,
@@ -107,6 +109,95 @@ def test_ngram_jaccard_exact(spark, docs_df):
     assert got.keys() == want.keys()
     for p in want:
         assert got[p] == pytest.approx(want[p], abs=1e-6)
+
+
+def test_md5_60_parity_spark_vs_duckdb(spark):
+    """The cross-engine fingerprint primitive: Spark's
+    conv(substr(md5,1,15),16,10) must equal DuckDB's
+    CAST('0x'||substr(md5,1,15) AS BIGINT) — this equality is what makes
+    every near-dup oracle value-checked instead of rows-only."""
+    import duckdb
+
+    from linkgraph.docs import _md5_60
+
+    vals = ["hello", "the quick brown fox", "", "Ünïcödé ✓", "123,456"]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    got = {
+        r["x"]: r["h"] for r in df.select("x", _md5_60("x").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def _boilerplate_docs(spark, n_dups=40):
+    """A corpus where one license-header text is shared by n_dups docs —
+    the pathological bucket SCALING.md cliff #3 describes."""
+    header = "permission is hereby granted free of charge to any person obtaining a copy of this software"
+    rows = [(i, header, "en", "s", len(header)) for i in range(n_dups)]
+    rows.append((1000, "an unrelated document about shuffle partitioning in spark", "en", "s", 10))
+    rows.append((1001, "another unrelated text mentioning catalyst and tungsten engines", "en", "s", 10))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_bucket_cap_prevents_quadratic_blowup(spark):
+    bp = _boilerplate_docs(spark, n_dups=40)
+    # uncapped: the boilerplate bucket self-joins to 40*39/2 pairs
+    uncapped = minhash_candidate_pairs(bp, max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2
+    # capped below the boilerplate group: those buckets drop entirely
+    capped = minhash_candidate_pairs(bp, max_bucket_size=10)
+    assert capped.count() == 0
+    # and the audit trail reports exactly the dropped buckets (one per
+    # band: all 40 identical docs share every band bucket)
+    dropped = minhash_dropped_buckets(bp, max_bucket_size=10).collect()
+    assert len(dropped) == 8  # bands=8
+    assert all(r["size"] == 40 for r in dropped)
+    # a cap above the group keeps everything
+    assert minhash_candidate_pairs(bp, max_bucket_size=64).count() == 40 * 39 // 2
+    # audit is empty when nothing dropped
+    assert minhash_dropped_buckets(bp, max_bucket_size=64).count() == 0
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    bp = _boilerplate_docs(spark, n_dups=40)
+    # exact: all 780 boilerplate pairs at jaccard 1.0
+    assert ngram_jaccard_pairs(bp, min_jaccard=0.5).count() == 40 * 39 // 2
+    # max_doc_freq below 40 drops the boilerplate shingles from the index
+    assert ngram_jaccard_pairs(bp, min_jaccard=0.5, max_doc_freq=10).count() == 0
+
+
+def test_dedup_clusters_transitive_and_keeplist(spark):
+    """A≈B and B≈C near-dups must land in ONE cluster even though A and C
+    may never share a bucket; keep = min doc_id of the cluster."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to find a quiet place in the deep green forest of the north "
+        "while the winter wind blows cold across the silent frozen river"
+    )
+    chain_b = base.replace("quiet", "silent2")
+    chain_c = chain_b.replace("winter", "summer")
+    rows = [
+        (0, base, "en", "s", 1),
+        (1, base, "en", "s", 1),        # exact dup of 0
+        (2, chain_b, "en", "s", 1),     # near dup of 0/1
+        (3, chain_c, "en", "s", 1),     # near dup of 2, farther from 0
+        (4, "a completely different tiny note", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(df, min_jaccard=0.5).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # transitive: joined via 2
+    assert got[4] == (4, True)   # singleton keeps itself
 
 
 @pytest.fixture(scope="module")

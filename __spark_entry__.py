@@ -4,7 +4,10 @@
 implemented kernel over the canonical derived link graph
 (linkgraph/derive.py: DISTINCT (l_orderkey % 2048 → l_partkey % 2048)
 from lineitem); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-(linkgraph/oracle_sql.py — unrolled/recursive CTE formulations).
+(linkgraph/oracle_sql.py — unrolled/recursive CTE formulations). EVERY
+query has a value-checked oracle — the near-dup/LSH family hashes with
+md5-60 (docs._md5_60_sql) and md5-seeded planes (similarity.plane_matrix)
+precisely so DuckDB reproduces the values.
 
 Floats are rounded to 6 dp on BOTH sides (summation order differs between
 engines); discrete outputs match exactly. Fine-grained 1e-6+ parity is
@@ -193,6 +196,15 @@ def _q_lsh_knn(spark, sf_dir):
     return similarity.lsh_cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, num_bits=4)
 
 
+def _q_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, bucket-restricted (never
+    all-pairs). min_sim tuned to the gate embeddings' distribution
+    (max pairwise cosine ≈ 0.51) so the result is non-trivial."""
+    return similarity.cosine_dup_pairs(
+        _emb(spark, sf_dir), min_sim=0.3, num_bits=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
@@ -219,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "lsh_knn": _q_lsh_knn,
+        "cosine_dups": _q_cosine_dups,
     }
 
 
@@ -250,4 +263,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": osql.minhash_pairs_sql(),
         "simhash": osql.simhash_sql(),
         "dedup_clusters": osql.dedup_clusters_sql(),
+        "lsh_knn": osql.lsh_knn_sql(query_vec_id=0, k=10, num_bits=4, dim=64),
+        "cosine_dups": osql.cosine_dup_pairs_sql(min_sim=0.3, num_bits=4, dim=64),
     }

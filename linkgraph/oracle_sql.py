@@ -381,6 +381,75 @@ ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def lsh_knn_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of similarity.lsh_cosine_topk: the md5-seeded plane
+    matrix (similarity.plane_matrix — same function the Spark UDF uses)
+    is inlined as float64 literals; bucket = sum of sign bits; exact
+    cosine within the query's bucket. ``dim`` must match the embeddings
+    table (the gate table is 64-dim; the Spark UDF raises on mismatch,
+    so drift fails loudly on the engine side first)."""
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_bucket_expr_duck(num_bits, dim, seed)} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT bucket AS qb, embedding::DOUBLE[] AS qv FROM b WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id, sim FROM (
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+    FROM b e, q
+    WHERE e.vec_id <> {query_vec_id} AND e.bucket = q.qb
+)
+ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _bucket_expr_duck(num_bits: int, dim: int, seed: int) -> str:
+    """DuckDB hyperplane-bucket expression with the plane matrix inlined
+    as float64 literals (same similarity.plane_matrix values)."""
+    from linkgraph.similarity import plane_matrix
+
+    planes = plane_matrix(num_bits, dim, seed)
+    terms = []
+    for p in range(num_bits):
+        lits = ", ".join(repr(float(x)) for x in planes[p])
+        terms.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], [{lits}]) >= 0.0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def cosine_dup_pairs_sql(
+    min_sim: float = 0.3,
+    num_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of similarity.cosine_dup_pairs (no bucket cap at gate
+    scale — buckets are ~30 rows)."""
+    return f"""
+WITH bk AS (
+    SELECT vec_id, embedding, {_bucket_expr_duck(num_bits, dim, seed)} AS bucket
+    FROM embeddings
+)
+SELECT vec_a, vec_b, sim FROM (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS sim
+    FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+WHERE sim >= {min_sim}
+"""
+
+
 def triangles_per_vertex_sql() -> str:
     return f"""
 WITH {EDGES_SQL},

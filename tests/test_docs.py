@@ -233,3 +233,88 @@ def test_lsh_topk_subset_of_exact_scores(spark, emb_df):
     assert approx, "query bucket must contain at least the near-duplicate"
     for vid, sim in approx:
         assert exact[vid] == pytest.approx(sim, abs=1e-6)  # same scores
+
+
+def test_lsh_buckets_match_numpy(spark, emb_df):
+    """The pandas-UDF bucket equals a direct NumPy evaluation of the same
+    md5-seeded planes — pins the UDF's batch matmul semantics."""
+    from linkgraph.similarity import hyperplane_buckets, plane_matrix
+
+    df, vecs = emb_df
+    got = {r["vec_id"]: r["bucket"] for r in hyperplane_buckets(df, num_bits=6, dim=16).collect()}
+    planes = plane_matrix(6, 16)
+    v = vecs.astype(np.float64)
+    want = ((v @ planes.T) >= 0.0) @ (1 << np.arange(6))
+    for i in range(len(v)):
+        assert got[i] == int(want[i])
+
+
+def test_lsh_dim_1024(spark):
+    """Regression for VERDICT r01 'What's wrong' #1: at dim=1024 the old
+    inline bucket expression generated ~25k hash calls in one SQL string
+    (Catalyst codegen blowup). The pandas-UDF path must handle 1024 dims
+    with a plan whose size is dimension-independent."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 1024)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.01 * rng.normal(size=1024).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = [(r["vec_id"], r["sim"]) for r in lsh_cosine_topk(df, 0, k=5, num_bits=8).collect()]
+    assert got and got[0][0] == 7  # planted near-dup lands in the bucket and wins
+    # wrong-dim input fails loudly, not silently
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(Exception, match="dim"):
+        lsh_cosine_topk(bad.unionByName(df), 0, k=5, num_bits=8, dim=1024).collect()
+
+
+def test_cosine_dup_pairs(spark, emb_df):
+    """Bucketed embedding near-dup pairs: the planted near-identical pair
+    (0,1) must survive bucketing and score ~1; scores match NumPy; a
+    bucket cap below the bucket sizes empties the result."""
+    from linkgraph.similarity import cosine_dup_pairs
+
+    df, vecs = emb_df
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in cosine_dup_pairs(df, min_sim=0.9, num_bits=2, dim=16).collect()
+    }
+    assert (0, 1) in got
+    v = vecs.astype(np.float64)
+    want = float(v[0] @ v[1] / (np.linalg.norm(v[0]) * np.linalg.norm(v[1])))
+    assert got[(0, 1)] == pytest.approx(round(want, 6), abs=2e-6)
+    # every reported pair really is >= the threshold under exact cosine
+    for (a, b), s in got.items():
+        exact = float(v[a] @ v[b] / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
+        assert s == pytest.approx(round(exact, 6), abs=2e-6) and s >= 0.9
+    # cap below bucket sizes drops everything (boilerplate guard wired in)
+    assert cosine_dup_pairs(df, min_sim=0.9, num_bits=2, dim=16, max_bucket_size=1).count() == 0
+
+
+def test_ann_index_partition_pruning(spark, emb_df, tmp_path):
+    """write_ann_index + ann_index_topk: the query scan must touch ONLY
+    the query bucket's files (hive partition pruning), and the results
+    must equal the recompute-everything lsh_cosine_topk path."""
+    from linkgraph.similarity import ann_index_topk, write_ann_index
+
+    df, vecs = emb_df
+    path = str(tmp_path / "ann")
+    write_ann_index(df, path, num_bits=2, dim=16)
+    got = ann_index_topk(
+        spark, path, vecs[0].astype(float).tolist(), k=5, num_bits=2, exclude_vec_id=0
+    )
+    rows = [(r["vec_id"], r["sim"]) for r in got.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in lsh_cosine_topk(df, 0, k=5, num_bits=2, dim=16).collect()
+    ]
+    assert rows == want
+    # pruning: the scan must carry a PartitionFilters entry on bucket —
+    # the filter is applied at file listing, before any bytes are read
+    # (inputFiles() reports the PRE-pruning candidate list, so inspect
+    # the executed plan instead)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert any("bucket" in l and "[]" not in l.split("PartitionFilters:")[1][:60] for l in pf_lines)

@@ -38,7 +38,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 V = 1 << 22
 E = 96_000_000
-ITERS = 8
+ITERS = 16  # ADVICE r01: better-sample the min; also report a trimmed mean
 SHUFFLE_PARTITIONS = 64
 CORES_LOW = 2
 CORES_HIGH = 8
@@ -94,6 +94,12 @@ def child(cores: int) -> None:
     assert len(iter_times) == ITERS, f"expected {ITERS} per-iteration samples, got {len(iter_times)}"
     best = min(iter_times)
     med = statistics.median(iter_times)
+    # 25%-trimmed mean: robust middle-half statistic, shown alongside
+    # min/median so the pass is visibly not an artifact of one lucky
+    # iteration (ADVICE r01, scaling_bench.py:107)
+    srt = sorted(iter_times)
+    q = len(srt) // 4
+    trimmed = statistics.mean(srt[q : len(srt) - q] or srt)
     print(
         json.dumps(
             {
@@ -104,7 +110,9 @@ def child(cores: int) -> None:
                 "iter_sec": [round(t, 3) for t in iter_times],
                 "min_iter_sec": round(best, 3),
                 "median_iter_sec": round(med, 3),
+                "trimmed_mean_iter_sec": round(trimmed, 3),
                 "edges_per_sec_per_iter": round(E / best, 1),
+                "edges_per_sec_per_iter_trimmed": round(E / trimmed, 1),
             }
         )
     )
@@ -120,10 +128,13 @@ def parent() -> None:
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cores] = json.loads(line)
+    ratio = CORES_HIGH / CORES_LOW
     tlo = results[CORES_LOW]["edges_per_sec_per_iter"]
     thi = results[CORES_HIGH]["edges_per_sec_per_iter"]
-    ratio = CORES_HIGH / CORES_LOW
     eff = (thi / tlo) / ratio
+    tlo_t = results[CORES_LOW]["edges_per_sec_per_iter_trimmed"]
+    thi_t = results[CORES_HIGH]["edges_per_sec_per_iter_trimmed"]
+    eff_t = (thi_t / tlo_t) / ratio
     print(
         json.dumps(
             {
@@ -132,6 +143,7 @@ def parent() -> None:
                 f"throughput_{CORES_HIGH}": thi,
                 "speedup": round(thi / tlo, 3),
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_trimmed_mean": round(eff_t, 3),
                 "target": 0.8,
                 "pass": eff >= 0.8,
                 "detail": results,

@@ -205,6 +205,30 @@ def _q_cosine_dups(spark, sf_dir):
     )
 
 
+def _q_fingerprints(spark, sf_dir):
+    """Winnowed rolling-hash document fingerprints (MOSS scheme)."""
+    return docs.fingerprints(_docs(spark, sf_dir), k=8, window=4)
+
+
+def _q_fp_overlap(spark, sf_dir):
+    """Passage-level (containment) near-dup pairs via shared winnowed
+    fingerprints — inverted-index join, never all-pairs. min_shared tuned
+    to the gate corpus (templated synthetic docs share ~9 fps on average;
+    40 isolates the ~30 genuinely containing pairs)."""
+    return docs.fingerprint_overlap_pairs(
+        _docs(spark, sf_dir), k=8, window=4, min_shared=40
+    )
+
+
+def _q_ivf_knn(spark, sf_dir):
+    """IVF-style ANN: exact rerank within the nprobe nearest centroid
+    cells (deterministic md5-ordered seeding, lloyd_iters=0 so the DuckDB
+    oracle reproduces the centroids exactly)."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, num_centroids=16, nprobe=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
@@ -232,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "lsh_knn": _q_lsh_knn,
         "cosine_dups": _q_cosine_dups,
+        "fingerprints": _q_fingerprints,
+        "fp_overlap": _q_fp_overlap,
+        "ivf_knn": _q_ivf_knn,
     }
 
 
@@ -265,4 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": osql.dedup_clusters_sql(),
         "lsh_knn": osql.lsh_knn_sql(query_vec_id=0, k=10, num_bits=4, dim=64),
         "cosine_dups": osql.cosine_dup_pairs_sql(min_sim=0.3, num_bits=4, dim=64),
+        "fingerprints": osql.fingerprints_sql(k=8, window=4),
+        "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
+        "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),
     }

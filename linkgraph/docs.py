@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "that", "for")
@@ -522,4 +522,89 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             best["hits"] / F.nullif(F.col("_n").cast("double"), F.lit(0.0)), 6
         ).alias("lang_score"),
+    )
+
+
+# ------------------------------------------------------- winnowing fingerprints
+def fingerprints(
+    documents: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — winnowed rolling-hash document fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03: the MOSS scheme).
+
+    Per document: hash every char k-gram (``_md5_60_sql`` of
+    ``substr(text, i, k)`` — engine-neutral, see module docstring), slide a
+    window of ``window`` consecutive k-gram hashes, keep the MIN of each
+    window, emit the distinct kept hashes. Guarantees any shared substring
+    of length ≥ k + window − 1 yields at least one shared fingerprint, so
+    fp-overlap is a containment detector (copied passages), complementing
+    minhash (whole-doc resemblance).
+
+    Plan shape: explode one row per k-gram position (same cost class as
+    :func:`shingles`), then a per-document window-min — the window is
+    PARTITION BY doc_id, so no cross-document shuffle beyond the initial
+    hash-partition on doc_id; state per group is one doc's positions.
+    Documents shorter than ``k`` chars yield no rows (no k-grams exist);
+    docs with fewer than ``window`` k-grams yield the min of what exists
+    (one clipped window at pos 1) rather than vanishing.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k ({k}) and window ({window}) must be ≥ 1")
+    pos = documents.filter(F.length("text") >= k).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))
+        ).alias("pos"),
+        (F.length("text") - F.lit(k - 1)).alias("n_kgrams"),
+        "text",
+    )
+    hashed = pos.select(
+        "doc_id",
+        "pos",
+        "n_kgrams",
+        F.expr(_md5_60_sql(f"substr(text, pos, {k})")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        # full windows only (last full window starts at n_kgrams - window + 1),
+        # except keep pos=1 so short docs emit their single clipped window
+        .filter(
+            (F.col("pos") <= F.col("n_kgrams") - F.lit(window - 1))
+            | (F.col("pos") == 1)
+        )
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+    )
+
+
+def fingerprint_overlap_pairs(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """(doc_a, doc_b, shared) — document pairs sharing ≥ ``min_shared``
+    winnowed fingerprints: the passage-level (containment) near-dup
+    detector. Inverted-index join on fp — never all-pairs; fingerprints
+    appearing in more than ``max_fp_doc_freq`` documents (boilerplate —
+    license headers, templates) are dropped from the index first, the same
+    stop-key guard as ngram_jaccard_pairs."""
+    fp = fingerprints(documents, k=k, window=window)
+    if max_fp_doc_freq is not None:
+        freq = fp.groupBy("fp").agg(F.count("*").alias("df"))
+        fp = fp.join(freq, "fp").filter(F.col("df") <= max_fp_doc_freq).drop("df")
+    a = fp.select("fp", F.col("doc_id").alias("doc_a"))
+    b = fp.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

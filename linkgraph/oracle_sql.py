@@ -541,3 +541,87 @@ deg AS (
 SELECT out_deg, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY out_deg
 """
+
+
+def fingerprints_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of docs.fingerprints (winnowing, SIGMOD'03): k-gram
+    hashes via the shared md5-60 fragment, window-min via the identical
+    ROWS frame, full windows only except a single clipped window for docs
+    with fewer than ``window`` k-grams."""
+    return f"""
+WITH pos AS (
+    SELECT doc_id, i AS pos, length(text) - {k - 1} AS n_kgrams,
+           {_md5_60_duck(f"substr(text, i, {k})")} AS h
+    FROM documents, UNNEST(generate_series(1, length(text) - {k - 1})) AS g(i)
+    WHERE length(text) >= {k}
+),
+win AS (
+    SELECT doc_id, pos, n_kgrams,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+    FROM pos
+)
+SELECT DISTINCT doc_id, fp FROM win
+WHERE pos <= n_kgrams - {window - 1} OR pos = 1
+"""
+
+
+def fp_overlap_sql(
+    k: int = 8, window: int = 4, min_shared: int = 2
+) -> str:
+    """DuckDB twin of docs.fingerprint_overlap_pairs (no doc-freq cap at
+    gate scale)."""
+    inner = fingerprints_sql(k, window).strip()
+    return f"""
+WITH fp AS (
+{inner}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+def ivf_knn_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin of similarity.ivf_topk with lloyd_iters=0: centroids are
+    the ``num_centroids`` vectors with smallest md5(vec_id) (cid = rank in
+    that order — similarity.ivf_centroids), assignment is argmax of the
+    6-dp-rounded cosine with ties to the smaller cid, rerank is exact
+    within the ``nprobe`` probed cells."""
+    return f"""
+WITH seeds AS (
+    SELECT embedding::DOUBLE[] AS cvec,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+    FROM embeddings
+    QUALIFY cid < {num_centroids}
+),
+q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+),
+probes AS (
+    SELECT cid FROM seeds, q
+    ORDER BY ROUND(list_cosine_similarity(cvec, qv), 6) DESC, cid ASC
+    LIMIT {nprobe}
+),
+assign AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cid,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec), 6) AS csim
+        FROM embeddings e CROSS JOIN seeds s
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) = 1
+)
+SELECT vec_id, sim FROM (
+    SELECT a.vec_id,
+           ROUND(list_cosine_similarity(a.v, q.qv), 6) AS sim
+    FROM assign a JOIN probes p USING (cid), q
+    WHERE a.vec_id <> {query_vec_id}
+)
+ORDER BY sim DESC, vec_id ASC LIMIT {k}
+"""

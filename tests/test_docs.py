@@ -318,3 +318,158 @@ def test_ann_index_partition_pruning(spark, emb_df, tmp_path):
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines, plan
     assert any("bucket" in l and "[]" not in l.split("PartitionFilters:")[1][:60] for l in pf_lines)
+
+
+# ------------------------------------------------- winnowing fingerprints
+def test_fingerprints_shared_passage_guarantee(spark):
+    """Winnowing guarantee (SIGMOD'03): two docs sharing a substring of
+    length >= k + window - 1 share at least one fingerprint; disjoint
+    texts share none (modulo md5 collisions)."""
+    from linkgraph.docs import fingerprints
+
+    passage = "zqxjkwvbnmpl_shared_passage_zyxwvut"  # 35 chars >= 8+4-1
+    rows = [
+        (0, "aaaa bbbb " + passage + " cccc dddd", "en", "s", 0),
+        (1, "1111 2222 3333 " + passage + " 4444", "en", "s", 0),
+        (2, "totally unrelated content with no overlap at all", "en", "s", 0),
+        (3, "short", "en", "s", 0),  # < k chars → no k-grams → no rows
+        (4, "abcdefghij", "en", "s", 0),  # 3 k-grams < window → 1 clipped window
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fp = fingerprints(df, k=8, window=4)
+    by_doc = {
+        d: {r["fp"] for r in rs}
+        for d, rs in __import__("itertools").groupby(
+            sorted(fp.collect(), key=lambda r: r["doc_id"]), key=lambda r: r["doc_id"]
+        )
+    }
+    assert by_doc[0] & by_doc[1], "shared passage must yield a shared fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1  # single clipped window → exactly one fp
+
+
+def test_fingerprints_density(spark):
+    """Winnowing keeps ~2/(window+1) of positions — far fewer than one fp
+    per k-gram (that's the point: sublinear sketch), but at least
+    n_kgrams/window (a window min changes at most every window steps)."""
+    from linkgraph.docs import fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n_kgrams = len(text) - 8 + 1
+    n_fp = fingerprints(df, k=8, window=4).count()
+    assert n_fp < n_kgrams / 2
+    assert n_fp >= 1
+
+
+def test_fingerprint_overlap_pairs_and_boilerplate_cap(spark):
+    from linkgraph.docs import fingerprint_overlap_pairs
+
+    passage = "zqxjkwvbnmpl_shared_passage_zyxwvut_even_longer_for_more_fps"
+    boiler = "license header apache 2024 all rights reserved "
+    rows = [(i, boiler + f" unique tail {i} " + ("x%d" % i) * 5, "en", "s", 0) for i in range(6)]
+    rows += [
+        (10, "aaaa bbbb " + passage + " cccc", "en", "s", 0),
+        (11, "1111 2222 " + passage + " 3333", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_overlap_pairs(df, k=8, window=4, min_shared=2).collect()
+    }
+    assert (10, 11) in pairs
+    # boilerplate guard: fps in >2 docs dropped → the 6 boiler docs (whose
+    # only overlap IS the boilerplate) stop pairing; the planted pair stays
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_overlap_pairs(
+            df, k=8, window=4, min_shared=2, max_fp_doc_freq=2
+        ).collect()
+    }
+    assert (10, 11) in capped
+    assert not any(a < 6 and b < 6 for a, b in capped)
+
+
+# --------------------------------------------------------------- IVF ANN
+def test_ivf_topk_exact_within_probed_cells(spark, emb_df):
+    """Every (vec_id, sim) ivf_topk returns carries the EXACT cosine score
+    (rerank is exact within probed cells), and with nprobe = num_centroids
+    the result equals brute-force cosine_topk."""
+    from linkgraph.similarity import ivf_topk
+
+    df, vecs = emb_df
+    v = vecs.astype(np.float64)
+    exact = {r["vec_id"]: r["sim"] for r in cosine_topk(df, 0, k=49).collect()}
+    got = [(r["vec_id"], r["sim"]) for r in ivf_topk(df, 0, k=5, num_centroids=8, nprobe=2).collect()]
+    assert got, "probed cells must be non-empty"
+    for vid, sim in got:
+        assert exact[vid] == pytest.approx(sim, abs=1e-6)
+    full = [(r["vec_id"], r["sim"]) for r in ivf_topk(df, 0, k=5, num_centroids=8, nprobe=8).collect()]
+    brute = [(r["vec_id"], r["sim"]) for r in cosine_topk(df, 0, k=5).collect()]
+    assert full == brute
+    assert got[0][0] == 1  # near-duplicate shares the query's cell
+
+
+def test_ivf_assign_sql_vs_matmul_agree(spark, emb_df):
+    from linkgraph.similarity import ivf_assign
+
+    df, _ = emb_df
+    a = {r["vec_id"]: r["cid"] for r in ivf_assign(df, num_centroids=8, method="sql").collect()}
+    b = {r["vec_id"]: r["cid"] for r in ivf_assign(df, num_centroids=8, method="matmul").collect()}
+    assert a == b  # ties within float rounding have measure ~0 on gaussians
+
+
+def test_ivf_lloyd_refinement_runs_and_tightens(spark, emb_df):
+    """lloyd_iters > 0 must not break assignment, and mean within-cell
+    cosine-to-centroid must not get worse (kmeans monotonicity, modulo
+    the cosine-vs-euclidean objective mismatch — assert no collapse)."""
+    from linkgraph.similarity import _centroid_df, _ivf_assign, ivf_centroids
+
+    df, vecs = emb_df
+    v = vecs.astype(np.float64)
+
+    def mean_sim(iters):
+        cents = ivf_centroids(df, num_centroids=4, lloyd_iters=iters)
+        assign = {
+            r["vec_id"]: r["cid"]
+            for r in _ivf_assign(df, _centroid_df(spark, cents), "vec_id", "embedding").collect()
+        }
+        sims = []
+        for vid, cid in assign.items():
+            c = cents[cid]
+            sims.append(v[vid] @ c / (np.linalg.norm(v[vid]) * np.linalg.norm(c)))
+        return float(np.mean(sims))
+
+    s0, s2 = mean_sim(0), mean_sim(2)
+    assert s2 >= s0 - 0.05
+
+
+def test_ivf_index_partition_pruning(spark, emb_df, tmp_path):
+    """write_ivf_index + ivf_index_topk: scan reads only probed cells'
+    files; results equal the in-memory ivf_topk path."""
+    from linkgraph.similarity import ivf_index_topk, ivf_topk, write_ivf_index
+
+    df, vecs = emb_df
+    path = str(tmp_path / "ivf")
+    cents = write_ivf_index(df, path, num_centroids=8, method="sql")
+    got = ivf_index_topk(
+        spark, path, cents, vecs[0].astype(float).tolist(), k=5, nprobe=2, exclude_vec_id=0
+    )
+    rows = [(r["vec_id"], r["sim"]) for r in got.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in ivf_topk(df, 0, k=5, num_centroids=8, nprobe=2).collect()
+    ]
+    assert rows == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert any("cid" in l and "[]" not in l.split("PartitionFilters:")[1][:60] for l in pf_lines)

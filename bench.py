@@ -67,6 +67,54 @@ def big_graph(spark, num_partitions: int) -> Graph:
     )
 
 
+BIG_DOCS = 200_000
+DOC_TOKENS = 200
+VOCAB = 50_000
+
+
+def big_docs(spark, num_partitions: int):
+    """Deterministic synthetic corpus, generated in-Spark (no files):
+    BIG_DOCS docs × DOC_TOKENS tokens drawn from a VOCAB-token vocabulary
+    via xxhash64. Every doc with id % 10 == 1 shares its first
+    DOC_TOKENS-10 tokens with doc id-1 (a planted ~95%-Jaccard near-dup
+    pair per decade), so the minhash/LSH path has real work to find. A
+    'license header' prefix is shared by ALL docs with id % 5 == 0 — the
+    boilerplate bucket the size caps exist for."""
+    base = F.expr(
+        f"CASE WHEN id % 10 = 1 AND pos <= {DOC_TOKENS - 10} THEN id - 1 ELSE id END"
+    )
+    toks = (
+        spark.range(BIG_DOCS, numPartitions=num_partitions)
+        .select("id", F.explode(F.sequence(F.lit(1), F.lit(DOC_TOKENS))).alias("pos"))
+        .select(
+            "id",
+            "pos",
+            F.when(
+                (F.col("id") % 5 == 0) & (F.col("pos") <= 20),
+                F.concat(F.lit("lic"), F.col("pos").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("tok"),
+                    F.pmod(F.xxhash64(base, F.col("pos")), F.lit(VOCAB)).cast("string"),
+                )
+            )
+            .alias("tok"),
+        )
+    )
+    return (
+        toks.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ps"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(F.expr("transform(ps, s -> s.tok)"), " ").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synth").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -151,6 +199,46 @@ def main() -> None:
             "triangles",
             lambda: triangle_count(bg).collect()[0]["triangles"],
         )
+
+        # ------------- big corpus: docs operators at plan-dominant scale
+        from linkgraph import docs as docmod
+
+        td = time.monotonic()
+        corpus = big_docs(spark, num_partitions=max(cpus, 16))
+        corpus = corpus.persist()
+        n_docs = corpus.count()
+        big_stats["docs_build_sec"] = round(time.monotonic() - td, 3)
+        big_stats["docs_n"] = n_docs
+
+        def timed_docs(name, fn, n: int | None = None):
+            t = time.monotonic()
+            fn()
+            wall = time.monotonic() - t
+            timings[f"bigdocs_{name}"] = round(wall, 3)
+            big_stats[f"docs_{name}_docs_per_sec"] = round((n or n_docs) / wall, 1)
+
+        timed_docs("token_stats", lambda: docmod.token_stats(corpus).count())
+        timed_docs("exact_dedup", lambda: docmod.exact_dedup(corpus, by_hash=True).count())
+        timed_docs(
+            "minhash_pairs",
+            lambda: docmod.minhash_candidate_pairs(
+                corpus, max_bucket_size=1000
+            ).count(),
+        )
+        timed_docs(
+            "dedup_clusters",
+            lambda: docmod.dedup_clusters(corpus, max_bucket_size=1000).count(),
+        )
+        timed_docs(
+            "fingerprints",
+            # char-level explode is ~1.4k rows/doc — run on a 25% slice to
+            # keep the bench minutes-bounded; throughput is per sliced doc
+            lambda: docmod.fingerprints(
+                corpus.filter(F.col("doc_id") % 4 == 0)
+            ).count(),
+            n=(BIG_DOCS + 3) // 4,
+        )
+        corpus.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -430,7 +430,15 @@ def dedup_clusters(
         max_bucket_size=max_bucket_size,
     ).select("doc_a", "doc_b")
 
-    # exact verify, restricted to candidate docs before the index join
+    # exact verify, driven BY the candidate pairs: attach doc_a's shingles
+    # to each pair, then equi-join on (doc_b, shingle) — each probe matches
+    # at most one row (shingles are deduped per doc), so the cost is
+    # |candidates| × shingles-per-doc, LINEAR in the candidate set. The
+    # earlier inverted-index formulation (shingle self-join filtered to
+    # candidates afterwards) went quadratic on boilerplate shingle hubs —
+    # a license prefix shared by 40% of a 200k-doc bench corpus turned one
+    # shingle into a 20k×20k join and made this stage 6× slower than the
+    # LSH recall stage it was verifying. Caught by bench.py's big_docs run.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -438,14 +446,13 @@ def dedup_clusters(
     )
     sh = shingles(documents, k=k).join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
-    b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
-        .join(cand, ["doc_a", "doc_b"])  # candidates only
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))

@@ -119,6 +119,12 @@ def bfs(
         frontier_size, frontier_degree = frontier_stats(frontier)
         if frontier_size == 0:
             break
-        visited = scratch(visited.unionByName(nxt), level)
+        # visited is a union of ALREADY-CHECKPOINTED deltas — nothing to
+        # recompute, so re-checkpointing it per level is pure scheduler
+        # latency (BFS is level-latency-bound at any scale). Truncate the
+        # growing union plan only every 8 levels.
+        visited = visited.unionByName(nxt)
+        if level % 8 == 0:
+            visited = scratch(visited, level)
 
     return visited if return_parents else visited.select("id", "dist")

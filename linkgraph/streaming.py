@@ -11,6 +11,14 @@ the engine's forward-looking surface for CONTINUOUSLY arriving data:
   100 TB link graph fresh without full rebuilds (graph kernels then run
   in batch over the sink snapshot; per north rule the kernels themselves
   are batch-iterative, not streaming).
+- :func:`stream_dedup` — cross-micro-batch exact dedup of a document
+  stream: first arrival of each content hash passes, replays are dropped,
+  with a watermark bounding the dedup state (the streaming sibling of
+  docs.exact_dedup for continuously arriving training data).
+- :func:`stream_sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: per-user event sessionization with an
+  inactivity-gap timeout — the pattern to copy for any bespoke streaming
+  state the built-in aggregates can't express.
 
 Tests drive these with ``trigger(availableNow=True)`` so they run
 deterministically to completion on the sandbox.
@@ -76,3 +84,105 @@ def stream_edge_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: str = "doc_id long, ts timestamp, text string",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each document
+    content, drop replays in later micro-batches.
+
+    Built on the engine's streaming ``dropDuplicatesWithinWatermark`` over
+    ``sha2(text)`` — the state store holds one 32-byte key per distinct
+    doc inside the watermark horizon (bounded state: hashes older than the
+    watermark are evicted, so an infinite stream doesn't accumulate an
+    infinite set; re-arrivals beyond the horizon pass through — the
+    at-scale contract is 'deduped within N hours', exact history requires
+    the batch docs.exact_dedup over the sink). The shuffle carries the
+    hash key, not document bodies — same 100 TB argument as
+    docs.exact_dedup(by_hash=True)."""
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+    return (
+        src.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    group events by user, close a session after ``gap_seconds`` of
+    inactivity, emit (user_id, session_start, session_end, n_events).
+
+    This is the engine's template for bespoke streaming state the built-in
+    windowed aggregates can't express (a session's length is data-driven,
+    not a fixed window). State per user is three scalars — O(active
+    users), bounded by the event-time timeout: Spark calls the function
+    with ``state.hasTimedOut`` once the watermark passes the session gap,
+    which is when the session is emitted and the state freed. The input
+    must already be watermarked by the caller (the timeout clock IS the
+    watermark).
+    """
+    import pandas as pd  # local: keep the module import-light for executors
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, end long, n long"
+
+    gap_us = gap_seconds * 1_000_000
+
+    def emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit(user_id, [(start, end, n)])
+            return
+        # one user's batch slice fits comfortably in memory (events are
+        # already grouped); sessions are split by gap WITHIN the batch too,
+        # since an availableNow run can deliver hours of history at once
+        ts_all = pd.concat(
+            [pdf["ts"] for pdf in pdf_iter], ignore_index=True
+        ).astype("int64") // 1000  # ns → us
+        sessions: list[list[int]] = []
+        if state.exists:
+            s0, e0, n0 = state.get
+            sessions.append([s0, e0, n0])
+        for t in ts_all.sort_values():
+            t = int(t)
+            if sessions and t - sessions[-1][1] <= gap_us:
+                sessions[-1][1] = max(sessions[-1][1], t)
+                sessions[-1][2] += 1
+            else:
+                sessions.append([t, t, 1])
+        closed, live = sessions[:-1], sessions[-1]
+        state.update((live[0], live[1], live[2]))
+        state.setTimeoutTimestamp(live[1] // 1000 + gap_seconds * 1000)  # ms
+        yield emit(user_id, [tuple(s) for s in closed])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

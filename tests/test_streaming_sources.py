@@ -79,3 +79,92 @@ def test_stream_edge_ingest_matches_batch(spark, tmp_path):
     # and the streamed sink feeds the normal batch pipeline
     edges, ids = extract_edges(spark.read.parquet(src_dir))
     assert edges.count() == len(planted)
+
+
+def test_stream_dedup_drops_cross_batch_replays(spark, tmp_path):
+    """First arrival of each content passes; replays (same text, later ts,
+    different doc_id) are dropped across micro-batches."""
+    import datetime as dt
+
+    from linkgraph.streaming import stream_dedup
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, "alpha content"),
+        (1, t0 + dt.timedelta(minutes=1), "beta content"),
+        (2, t0 + dt.timedelta(minutes=2), "alpha content"),   # replay of 0
+        (3, t0 + dt.timedelta(minutes=3), "gamma content"),
+        (4, t0 + dt.timedelta(minutes=4), "beta content"),    # replay of 1
+    ]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.parquet(docs_dir)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream_dedup(spark, docs_dir, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha content", "beta content", "gamma content"]
+    # kept rows are the FIRST arrivals (within-batch order isn't pinned by
+    # the API, but these all land in one availableNow batch where min-ts
+    # wins is not guaranteed — assert set of texts only plus row count)
+    assert got.count() == 3
+
+
+def test_stream_sessionize_gap_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: two bursts separated by more
+    than the gap → two sessions for the user; counts and bounds correct.
+    A late high-watermark event from another user advances the watermark
+    past the first burst's timeout so its session is emitted."""
+    import datetime as dt
+
+    from linkgraph.streaming import stream_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = (
+        # user 1, burst A: 3 events within the gap
+        [(1, t0 + dt.timedelta(seconds=s)) for s in (0, 60, 120)]
+        # user 1, burst B: 2 events, 2 h later (gap = 30 min → new session)
+        + [(1, t0 + dt.timedelta(hours=2, seconds=s)) for s in (0, 30)]
+        # user 2: a far-future event that drags the watermark forward so
+        # both of user 1's sessions time out and get emitted
+        + [(2, t0 + dt.timedelta(days=2))]
+    )
+    src_dir = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+    )
+    u1 = [g for g in got if g[0] == 1]
+    assert len(u1) == 2
+    (a_start, a_end, a_n) = (u1[0][1], u1[0][2], u1[0][3])
+    (b_start, b_end, b_n) = (u1[1][1], u1[1][2], u1[1][3])
+    assert a_n == 3 and a_start == t0 and a_end == t0 + dt.timedelta(seconds=120)
+    assert b_n == 2 and b_start == t0 + dt.timedelta(hours=2)
+    assert b_end == t0 + dt.timedelta(hours=2, seconds=30)

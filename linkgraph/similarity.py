@@ -279,8 +279,13 @@ def ivf_centroids(
         cdf = _centroid_df(embeddings.sparkSession, cents)
         means = (
             _ivf_assign(embeddings, cdf, id_col, vec_col)
-            .join(embeddings.select(id_col, vec_col), id_col)
-            .select("cid", F.posexplode(vec_col).alias("pos", "val"))
+            .join(
+                embeddings.select(
+                    F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+                ),
+                "vec_id",
+            )
+            .select("cid", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
             .collect()

@@ -1,0 +1,96 @@
+"""Physical-plan audits — the scale claims, asserted against Catalyst.
+
+These pin the plan PROPERTIES the 100 TB story depends on, so a refactor
+that silently degrades a plan (an accidental cartesian product, a lost
+column pruning, a dropped broadcast) fails CI rather than a cluster run.
+String-matching executed plans is Spark-version-sensitive by nature; this
+repo pins pyspark 4.x and the matched tokens are stable operator names.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from linkgraph import docs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_unbounded_cartesian_in_any_gate_query(spark):
+    """No gate query may contain a CartesianProduct. BroadcastNestedLoopJoin
+    is allowed ONLY because every crossJoin in the engine broadcasts a
+    provably tiny side (a 1-row query vector or a C-row centroid table);
+    a plain CartesianProduct means both sides were big — the unbounded
+    shuffle this test exists to catch."""
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_docs_scan_prunes_columns(spark):
+    """token_stats touches only (doc_id, text): the parquet ReadSchema must
+    not include lang/source/n_chars — column pruning reaching the scan is
+    what makes a 100 TB text table affordable to fingerprint."""
+    df = docs.token_stats(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    schema = scan_lines[0].split("ReadSchema:")[1]
+    assert "doc_id" in schema and "text" in schema
+    assert "source" not in schema and "n_chars" not in schema
+
+
+def test_exact_dedup_filter_pushdown(spark):
+    """A filtered dedup (common: dedup one source at a time) must push the
+    source predicate into the parquet scan (PushedFilters), not read
+    everything and filter later."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("source") == "s0")
+    plan = _plan(docs.exact_dedup(d))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert any("source" in l for l in pushed), pushed
+
+
+def test_pagerank_loop_reuses_persisted_adjacency(spark):
+    """The PageRank iteration must read the normalized adjacency from the
+    persisted in-memory relation (InMemoryTableScan), not re-derive it
+    from the raw edge table each iteration — re-deriving would re-shuffle
+    E rows per iteration, the exact cost the persisted layout removes."""
+    from linkgraph.derive import link_graph
+    from linkgraph.operators import pagerank
+
+    g = link_graph(spark, SF)
+    g.out_normalized_edges().count()  # materialize the persisted adjacency
+    # the returned df is just a scan of the last checkpoint — capture the
+    # PRE-checkpoint plan of a loop iteration via the checkpointer hook
+    captured = {}
+
+    def cap(df, it):
+        captured[it] = _plan(df)
+        return df.localCheckpoint(eager=True)
+
+    pagerank(g, iterations=2, checkpointer=cap)
+    it_plan = captured[max(captured)]
+    assert "InMemoryTableScan" in it_plan or "InMemoryRelation" in it_plan, it_plan
+    # and the iteration reads the previous state from its checkpoint, not
+    # by recomputing the full lineage
+    assert "ExistingRDD" in it_plan, it_plan
+
+
+def test_docs_expressions_stay_jvm_side(spark):
+    """The docs quality expressions are pure JVM built-ins: the plan must
+    contain whole-stage-codegen spans ('*(n)' markers in toString) and NO
+    Python evaluation nodes (a Python/UDF hole here would put per-row
+    Python on the 100 TB hot path). The higher-order-function Project
+    (aggregate/transform lambdas) legitimately sits outside codegen —
+    still JVM-interpreted expressions, not Python."""
+    df = docs.token_stats(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = _plan(df)
+    assert "*(1)" in plan, plan  # codegen reaches the scan+project pipeline
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -97,6 +97,63 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize over Arrow batches: the normalization step every
+    multimodal training pipeline runs before featurization.
+
+    Non-image rows pass through untouched (kind-dispatch inside the batch,
+    not a filter+union — one pass over the table). With ``decode_stub``
+    the "resize" re-derives a deterministic payload from (payload, target
+    dims) and rewrites meta.width/height — schema, batching and the meta
+    contract are fully exercised; ``decode_stub=False`` is the marked
+    plug-in point for a real decode → resample → re-encode."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+
+    def resize(batches):
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires PIL/opencv — not available in this "
+                    "container; plug the decoder in here"
+                )
+            is_img = pdf["kind"] == "image"
+            payloads, metas = [], []
+            for img, payload, meta in zip(is_img, pdf["payload"], pdf["meta"]):
+                if img:
+                    digest = hashlib.sha256(
+                        bytes(payload) + f":{width}x{height}".encode()
+                    ).digest()
+                    # stub payload sized ∝ target area, as a real re-encode
+                    # roughly would be — keeps downstream size accounting real
+                    reps = max(1, (width * height) // (64 * 64))
+                    payloads.append(digest * reps)
+                    m = dict(meta) if meta is not None else {}
+                    m["width"], m["height"] = width, height
+                    metas.append(m)
+                else:
+                    payloads.append(payload)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every: int = 8) -> DataFrame:
     """Video frame sampling plan: one output row per sampled frame index
     (metadata-driven — JVM-side explode; the per-frame decode would then

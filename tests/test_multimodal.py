@@ -60,3 +60,27 @@ def test_language_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     got = {r["doc_id"]: r["lang_guess"] for r in language_id(df).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es"}
+
+
+def test_resize_images_rewrites_dims_and_passes_non_images(spark):
+    from linkgraph.multimodal import resize_images, synthesize_media_table
+
+    media = synthesize_media_table(spark, 30, num_partitions=2)
+    out = resize_images(media, 224, 224)
+    rows = out.collect()
+    assert len(rows) == 30  # one pass, nothing dropped
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+            assert len(bytes(r["payload"])) == 32 * max(1, (224 * 224) // (64 * 64))
+        else:  # audio/video untouched
+            orig = media.filter(media.media_id == r["media_id"]).first()
+            assert bytes(r["payload"]) == bytes(orig["payload"])
+    # deterministic: same input + dims → identical payloads
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 224, 224).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+    # the plug-point raises where a real decoder goes
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real resize"):
+        resize_images(media, 64, 64, decode_stub=False).collect()

@@ -105,19 +105,39 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_stream(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) — k-gram token shingles, RAW (duplicates kept):
+    no shuffle. Consumers that need set semantics dedup on the 60-bit
+    hash (shingle_hashes) so the dedup shuffle carries 8-byte keys, or
+    skip dedup entirely when their aggregate is idempotent (minhash)."""
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size({_TOKENIZE}) - {k}, 0)), "
+                f"i -> array_join(slice({_TOKENIZE}, i + 1, {k}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+
+
 def shingles(documents: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, shingle) — k-gram token shingles, deduped per doc."""
+    return _shingle_stream(documents, k).dropDuplicates(["doc_id", "shingle"])
+
+
+def shingle_hashes(documents: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, x) — the 60-bit md5 fingerprints of a doc's DISTINCT
+    shingles. Dedup and all downstream joins happen on the 8-byte hash,
+    not the variable-width shingle string — same values as dedup-by-string
+    unless md5-60 collides (the oracle gate would catch that), a fraction
+    of the shuffle bytes. Profiled at 200k docs / 39M shingles: the
+    string-keyed dedup shuffle was the single largest cost in the whole
+    minhash pipeline."""
     return (
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, greatest(size({_TOKENIZE}) - {k}, 0)), "
-                    f"i -> array_join(slice({_TOKENIZE}, i + 1, {k}), ' '))"
-                )
-            ).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id", "shingle"])
+        _shingle_stream(documents, k)
+        .select("doc_id", (_md5_60("shingle") % MINHASH_PRIME).alias("x"))
+        .dropDuplicates(["doc_id", "x"])
     )
 
 
@@ -131,9 +151,14 @@ def minhash_signatures(
     shingles. One explode + one groupBy; the signature aggregate is
     ``array(min(h_0), ..., min(h_{n-1}))``, all map-side combinable, and
     every value is reproducible in ANSI SQL (oracle_sql.minhash_pairs_sql).
+
+    Duplicate shingles are NOT deduped first: min is idempotent, so the
+    signature is identical with or without the dedup — skipping it removes
+    the pipeline's largest shuffle (39M string rows at the 200k-doc bench)
+    and leaves only the map-side-combined 200k partial-aggregate rows.
     """
-    sh = shingles(documents, k=k).withColumn(
-        "x", _md5_60("shingle") % MINHASH_PRIME
+    sh = _shingle_stream(documents, k).select(
+        "doc_id", (_md5_60("shingle") % MINHASH_PRIME).alias("x")
     )
     mins = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
@@ -308,21 +333,25 @@ def ngram_jaccard_pairs(
     with the cap set the reported jaccard is a LOWER BOUND and pairs
     whose only shared shingles are stop-shingles are missed entirely
     (recall traded, never precision). Default None = exact (the
-    oracle-checked gate configuration)."""
-    sh = shingles(documents, k=k)
+    oracle-checked gate configuration).
+
+    The index keys on the 60-bit shingle hash (shingle_hashes), not the
+    string — same jaccard values modulo md5-60 collisions, 8-byte shuffle
+    keys."""
+    sh = shingle_hashes(documents, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     idx = sh
     if max_doc_freq is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        df_counts = sh.groupBy("x").agg(F.count("*").alias("df"))
         idx = (
-            sh.join(df_counts, "shingle")
+            sh.join(df_counts, "x")
             .filter(F.col("df") <= max_doc_freq)
             .drop("df")
         )
-    a = idx.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
-    b = idx.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    a = idx.select(F.col("x"), F.col("doc_id").alias("doc_a"))
+    b = idx.select(F.col("x"), F.col("doc_id").alias("doc_b"))
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "x")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
@@ -444,13 +473,13 @@ def dedup_clusters(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(documents, k=k).join(cand_docs, "doc_id", "left_semi")
+    sh = shingle_hashes(documents, k=k).join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "x")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "x")
     inter = (
         cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "x"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -189,9 +189,12 @@ def main() -> None:
             timings[f"big_{name}"] = round(wall, 3)
             big_stats[f"{name}_edges_per_sec"] = round(BIG_E * rounds / wall, 1)
 
+        from linkgraph.operators.wcc import wcc_large_small_star
+
         timed_big("pagerank10", lambda: pagerank(bg, iterations=10).count(), rounds=10)
         timed_big("spmv", lambda: spmv(bg).count())
         timed_big("wcc", lambda: wcc(bg).count())
+        timed_big("wcc_lss", lambda: wcc_large_small_star(bg).count())
         timed_big("labelprop5", lambda: label_propagation(bg, iterations=5).count(), rounds=5)
         timed_big("bfs", lambda: bfs(bg, root=0).count())
         timed_big("sssp", lambda: sssp(bg, root=0).count())

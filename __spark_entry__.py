@@ -199,9 +199,11 @@ def _q_lsh_knn(spark, sf_dir):
 def _q_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, bucket-restricted (never
     all-pairs). min_sim tuned to the gate embeddings' distribution
-    (max pairwise cosine ≈ 0.51) so the result is non-trivial."""
+    (max pairwise cosine ≈ 0.51) so the result is non-trivial.
+    max_bucket_size=None matches the UNCAPPED oracle exactly (see
+    _q_fp_overlap)."""
     return similarity.cosine_dup_pairs(
-        _emb(spark, sf_dir), min_sim=0.3, num_bits=4
+        _emb(spark, sf_dir), min_sim=0.3, num_bits=4, max_bucket_size=None
     )
 
 
@@ -214,9 +216,12 @@ def _q_fp_overlap(spark, sf_dir):
     """Passage-level (containment) near-dup pairs via shared winnowed
     fingerprints — inverted-index join, never all-pairs. min_shared tuned
     to the gate corpus (templated synthetic docs share ~9 fps on average;
-    40 isolates the ~30 genuinely containing pairs)."""
+    40 isolates the ~30 genuinely containing pairs). max_fp_doc_freq=None
+    matches the UNCAPPED oracle exactly — the default cap would silently
+    diverge from the oracle the day a gate corpus grows a >10k-doc
+    boilerplate fingerprint."""
     return docs.fingerprint_overlap_pairs(
-        _docs(spark, sf_dir), k=8, window=4, min_shared=40
+        _docs(spark, sf_dir), k=8, window=4, min_shared=40, max_fp_doc_freq=None
     )
 
 

@@ -75,13 +75,16 @@ VOCAB = 50_000
 def big_docs(spark, num_partitions: int):
     """Deterministic synthetic corpus, generated in-Spark (no files):
     BIG_DOCS docs × DOC_TOKENS tokens drawn from a VOCAB-token vocabulary
-    via xxhash64. Every doc with id % 10 == 1 shares its first
-    DOC_TOKENS-10 tokens with doc id-1 (a planted ~95%-Jaccard near-dup
-    pair per decade), so the minhash/LSH path has real work to find. A
-    'license header' prefix is shared by ALL docs with id % 5 == 0 — the
-    boilerplate bucket the size caps exist for."""
+    via xxhash64. Every doc with id % 10 == 3 shares its first
+    DOC_TOKENS-10 tokens with doc id-1 (a planted ~95%-token-overlap
+    near-dup pair per decade; ids ≡ 2,3 mod 10 are never divisible by 5,
+    so the license override below cannot split a planted pair — an
+    earlier id%10==1 variant paired WITH license docs and silently
+    diluted the planted jaccard to ~0.73), so the minhash/LSH path has
+    real work to find. A 'license header' prefix is shared by ALL docs
+    with id % 5 == 0 — the boilerplate bucket the size caps exist for."""
     base = F.expr(
-        f"CASE WHEN id % 10 = 1 AND pos <= {DOC_TOKENS - 10} THEN id - 1 ELSE id END"
+        f"CASE WHEN id % 10 = 3 AND pos <= {DOC_TOKENS - 10} THEN id - 1 ELSE id END"
     )
     toks = (
         spark.range(BIG_DOCS, numPartitions=num_partitions)

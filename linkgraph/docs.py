@@ -127,16 +127,19 @@ def shingles(documents: DataFrame, k: int = 5) -> DataFrame:
 
 
 def shingle_hashes(documents: DataFrame, k: int = 5) -> DataFrame:
-    """(doc_id, x) — the 60-bit md5 fingerprints of a doc's DISTINCT
+    """(doc_id, x) — the FULL 60-bit md5 fingerprints of a doc's DISTINCT
     shingles. Dedup and all downstream joins happen on the 8-byte hash,
     not the variable-width shingle string — same values as dedup-by-string
-    unless md5-60 collides (the oracle gate would catch that), a fraction
-    of the shuffle bytes. Profiled at 200k docs / 39M shingles: the
-    string-keyed dedup shuffle was the single largest cost in the whole
-    minhash pipeline."""
+    unless md5-60 collides (expected colliding pairs at N distinct
+    shingles ≈ N²/2⁶¹: ~0.0007 at the 39M-shingle bench corpus — set
+    semantics are safe far past 10⁹ shingles; do NOT reduce mod P here,
+    that would shrink identity to 31 bits and make collisions routine —
+    the minhash affine family applies its own mod-P reduction). Profiled
+    at 200k docs / 39M shingles: the string-keyed dedup shuffle was the
+    single largest cost in the whole minhash pipeline."""
     return (
         _shingle_stream(documents, k)
-        .select("doc_id", (_md5_60("shingle") % MINHASH_PRIME).alias("x"))
+        .select("doc_id", _md5_60("shingle").alias("x"))
         .dropDuplicates(["doc_id", "x"])
     )
 
@@ -379,12 +382,15 @@ def _components_over_pairs(pairs: DataFrame, max_iterations: int = 50) -> DataFr
     """(doc_id, cluster_id) — connected components of the PAIR graph only
     (vertices = docs appearing in ≥1 pair; callers attach singletons).
 
-    Hash-min label propagation to fixpoint, the same plan as
-    operators/wcc.py (writeMin ≡ groupBy().min(), wcc.c:30-42) but over
-    arbitrary sparse ids: no dense [0, V) vertex set is materialized, so
-    the iteration state is O(duplicated docs), not O(corpus). Duplicate
-    clusters are shallow (near-cliques), so this converges in ~log(max
-    cluster diameter) rounds — 50 is a runaway bound, not a tuning knob.
+    Hash-min label propagation WITH per-round pointer jumping, the same
+    writeMin plan as operators/wcc.py (wcc.c:30-42) but over arbitrary
+    sparse ids: no dense [0, V) vertex set is materialized, so the
+    iteration state is O(duplicated docs), not O(corpus). Plain hash-min
+    advances the min label ONE hop per round (O(diameter) rounds — a
+    60-doc serial edit chain would blow a 50-round bound); the added
+    label-compression join (cluster_id ← label of my label) doubles the
+    reach each round, so convergence is O(log diameter) and 50 rounds
+    covers any graph that fits in a datacenter.
     """
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -404,14 +410,27 @@ def _components_over_pairs(pairs: DataFrame, max_iterations: int = 50) -> DataFr
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("pushed"))
         )
+        stepped = labels.join(pushed, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("pushed"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer jumping: follow my label's label (labels are doc ids, so
+        # the label table itself is the parent function) — path halving
+        # turns the one-hop propagation into doubling reach per round
+        parent = labels.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("grand")
+        )
         merged = (
-            labels.join(pushed, "doc_id", "left")
+            stepped.join(parent, "cluster_id", "left")
             .select(
                 "doc_id",
-                F.col("cluster_id").alias("old"),
+                "old",
                 F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("pushed"), F.col("cluster_id")),
+                    F.col("cluster_id"), F.coalesce(F.col("grand"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
@@ -422,7 +441,8 @@ def _components_over_pairs(pairs: DataFrame, max_iterations: int = 50) -> DataFr
             return labels
     raise RuntimeError(
         f"_components_over_pairs did not converge in {max_iterations} rounds — "
-        f"pathological pair graph (diameter > 2^{max_iterations}?)"
+        f"with pointer jumping that needs diameter > ~2^{max_iterations}; "
+        f"this indicates a bug, not a big graph"
     )
 
 
@@ -450,14 +470,21 @@ def dedup_clusters(
          exactly that), keep = (doc_id == cluster_id); docs in no verified
          pair are their own singleton cluster with keep = true.
     """
-    cand = minhash_candidate_pairs(
-        documents,
-        num_hashes=num_hashes,
-        bands=bands,
-        k=k,
-        seed=seed,
-        max_bucket_size=max_bucket_size,
-    ).select("doc_a", "doc_b")
+    # materialize the candidate set ONCE: it fans out three ways below
+    # (cand_docs, the intersection probe, and nothing else re-runs the
+    # whole LSH pipeline per reference)
+    cand = (
+        minhash_candidate_pairs(
+            documents,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            seed=seed,
+            max_bucket_size=max_bucket_size,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
 
     # exact verify, driven BY the candidate pairs: attach doc_a's shingles
     # to each pair, then equi-join on (doc_b, shingle) — each probe matches
@@ -494,6 +521,9 @@ def dedup_clusters(
             >= min_jaccard
         )
         .select("doc_a", "doc_b")
+        # referenced twice by the symmetrizing union in components — a
+        # checkpoint here keeps the verify join from running per branch
+        .localCheckpoint(eager=True)
     )
 
     comp = _components_over_pairs(verified)

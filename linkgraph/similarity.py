@@ -344,6 +344,19 @@ def ivf_assign(
     The two agree except when two centroids tie within float rounding
     (measure ~0; pinned in tests)."""
     cents = ivf_centroids(embeddings, num_centroids, lloyd_iters, id_col, vec_col)
+    return _assign_with_cents(embeddings, cents, method, id_col, vec_col)
+
+
+def _assign_with_cents(
+    embeddings: DataFrame,
+    cents: "list[np.ndarray]",
+    method: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assignment against PRECOMPUTED centroids — so callers that already
+    hold the centroid list (write_ivf_index, Lloyd refinement) don't
+    re-derive it (deriving repeats every Lloyd iteration)."""
     if method == "sql":
         return _ivf_assign(
             embeddings, _centroid_df(embeddings.sparkSession, cents), id_col, vec_col
@@ -436,11 +449,7 @@ def write_ivf_index(
     caller must keep (or re-derive — it is deterministic) to route
     queries."""
     cents = ivf_centroids(embeddings, num_centroids, lloyd_iters, id_col, vec_col)
-    assign = (
-        _ivf_assign(embeddings, _centroid_df(embeddings.sparkSession, cents), id_col, vec_col)
-        if method == "sql"
-        else ivf_assign(embeddings, num_centroids, lloyd_iters, method, id_col, vec_col)
-    )
+    assign = _assign_with_cents(embeddings, cents, method, id_col, vec_col)
     (
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
         .join(assign, "vec_id")

@@ -170,6 +170,9 @@ def stream_sessionize(
         for t in ts_all.sort_values():
             t = int(t)
             if sessions and t - sessions[-1][1] <= gap_us:
+                # a late-but-in-watermark event can PRECEDE the stored
+                # session's start — extend both ends, not just the end
+                sessions[-1][0] = min(sessions[-1][0], t)
                 sessions[-1][1] = max(sessions[-1][1], t)
                 sessions[-1][2] += 1
             else:

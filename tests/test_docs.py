@@ -473,3 +473,19 @@ def test_ivf_index_partition_pruning(spark, emb_df, tmp_path):
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines, plan
     assert any("cid" in l and "[]" not in l.split("PartitionFilters:")[1][:60] for l in pf_lines)
+
+
+def test_components_long_chain_converges(spark):
+    """A serial near-dup edit chain longer than the round bound must still
+    converge (pointer jumping gives O(log diameter) rounds; plain one-hop
+    hash-min would need 80 rounds here and previously crashed at 50)."""
+    from linkgraph.docs import _components_over_pairs
+
+    n = 81
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = _components_over_pairs(pairs, max_iterations=50)
+    rows = got.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}  # one chain, min-id root

@@ -168,3 +168,54 @@ def test_stream_sessionize_gap_timeout(spark, tmp_path):
     assert a_n == 3 and a_start == t0 and a_end == t0 + dt.timedelta(seconds=120)
     assert b_n == 2 and b_start == t0 + dt.timedelta(hours=2)
     assert b_end == t0 + dt.timedelta(hours=2, seconds=30)
+
+
+def test_stream_sessionize_late_event_extends_session_start(spark, tmp_path):
+    """A late-but-within-watermark event that PRECEDES the stored session's
+    start must pull session_start backward (regression: only the end was
+    extended). Two availableNow runs over the same checkpoint simulate the
+    cross-batch arrival."""
+    import datetime as dt
+
+    from linkgraph.streaming import stream_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src_dir = str(tmp_path / "ev")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src_dir)
+            .withWatermark("ts", "30 minutes")
+        )
+        q = (
+            stream_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_batch([(1, t0)])
+    # 11:45 is before the stored session start (12:00) but above the
+    # watermark (12:00 - 30min = 11:30) → must merge and extend backward
+    run_batch([(1, t0 - dt.timedelta(minutes=15))])
+    # user 2 far in the future forces the watermark past user 1's timeout
+    run_batch([(2, t0 + dt.timedelta(days=2))])
+
+    u1 = [
+        r
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] == 1
+    ]
+    assert len(u1) == 1
+    assert u1[0]["session_start"] == t0 - dt.timedelta(minutes=15)
+    assert u1[0]["session_end"] == t0
+    assert u1[0]["n_events"] == 2

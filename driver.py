@@ -35,14 +35,17 @@ from linkgraph.operators import (
 from linkgraph.runner import CheckpointStore
 
 ALGOS = ("pagerank", "wcc", "labelprop", "triangles", "bfs", "sssp", "spmv")
+# training-data pipeline stages over a documents table (--docs input)
+DOC_ALGOS = ("dedup", "dedup_clusters", "token_stats", "fingerprints", "language_id")
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="linkgraph driver")
-    p.add_argument("--algo", required=True, choices=ALGOS)
+    p.add_argument("--algo", required=True, choices=ALGOS + DOC_ALGOS)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--source", help="source-code table path (repo,path,commit,lang,content)")
     src.add_argument("--edges", help="pre-built edge table path (src,dst[,weight])")
+    src.add_argument("--docs", help="documents table path (doc_id,text,...) for doc algos")
     p.add_argument("--output", required=True, help="result table path")
     p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
     p.add_argument("--run-id", default="run0")
@@ -57,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = SparkSession.builder.appName(f"linkgraph-{args.algo}").getOrCreate()
+
+    if args.algo in DOC_ALGOS:
+        if not args.docs:
+            print("doc algos require --docs", file=sys.stderr)
+            return 2
+        return _run_doc_algo(spark, args)
 
     if args.source:
         source = spark.read.parquet(args.source)
@@ -99,6 +108,40 @@ def main(argv: list[str] | None = None) -> int:
                 "wall_sec": round(wall, 3),
                 "n_vertices": g.num_vertices,
                 "n_edges": n_edges,
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def _run_doc_algo(spark: SparkSession, args) -> int:
+    """Training-data pipeline stages, launchable via the same
+    spark-submit surface as the graph kernels."""
+    from linkgraph import docs as docmod
+
+    documents = spark.read.parquet(args.docs)
+    t0 = time.monotonic()
+    if args.algo == "dedup":
+        result = docmod.exact_dedup(documents, by_hash=True)
+    elif args.algo == "dedup_clusters":
+        result = docmod.dedup_clusters(documents)
+    elif args.algo == "token_stats":
+        result = docmod.token_stats(documents)
+    elif args.algo == "fingerprints":
+        result = docmod.fingerprints(documents)
+    else:
+        result = docmod.language_id(documents)
+    result.write.mode("overwrite").parquet(args.output)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "algo": args.algo,
+                "run_id": args.run_id,
+                "wall_sec": round(wall, 3),
+                "n_docs": documents.count(),
                 "output": args.output,
             }
         )

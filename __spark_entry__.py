@@ -207,6 +207,29 @@ def _q_cosine_dups(spark, sf_dir):
     )
 
 
+def _q_personalized_pagerank(spark, sf_dir):
+    """Source-restricted teleport PageRank (seed repos 0-3), 10 rounds —
+    the reference recurrence with a base vector instead of (1-d)/N."""
+    from linkgraph.operators import personalized_pagerank
+
+    g = _graph(spark, sf_dir)
+    return personalized_pagerank(g, sources=[0, 1, 2, 3], iterations=10).select(
+        "id", F.round("rank", 6).alias("pr")
+    )
+
+
+def _q_reciprocity(spark, sf_dir):
+    from linkgraph.operators import reciprocity
+
+    return reciprocity(_graph(spark, sf_dir))
+
+
+def _q_assortativity(spark, sf_dir):
+    from linkgraph.operators import degree_assortativity
+
+    return degree_assortativity(_graph(spark, sf_dir))
+
+
 def _q_fingerprints(spark, sf_dir):
     """Winnowed rolling-hash document fingerprints (MOSS scheme)."""
     return docs.fingerprints(_docs(spark, sf_dir), k=8, window=4)
@@ -264,6 +287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "fp_overlap": _q_fp_overlap,
         "ivf_knn": _q_ivf_knn,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "reciprocity": _q_reciprocity,
+        "assortativity": _q_assortativity,
     }
 
 
@@ -300,4 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
         "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),
+        "personalized_pagerank": osql.personalized_pagerank_sql([0, 1, 2, 3], 10),
+        "reciprocity": osql.reciprocity_sql(),
+        "assortativity": osql.assortativity_sql(),
     }

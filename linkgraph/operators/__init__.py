@@ -8,8 +8,9 @@ merged back into the vertex-state DataFrame.
 
 from linkgraph.operators.bfs import bfs
 from linkgraph.operators.labelprop import label_propagation
-from linkgraph.operators.pagerank import pagerank
+from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.spmv import spmv
+from linkgraph.operators.stats import degree_assortativity, reciprocity
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
 from linkgraph.operators.wcc import wcc
@@ -22,5 +23,8 @@ __all__ = [
     "sssp",
     "triangle_count",
     "triangles_per_vertex",
+    "personalized_pagerank",
+    "reciprocity",
+    "degree_assortativity",
     "wcc",
 ]

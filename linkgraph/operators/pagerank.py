@@ -166,3 +166,64 @@ def pagerank(
                 break
 
     return ranks
+
+
+def personalized_pagerank(
+    graph: Graph,
+    sources: "list[int]",
+    iterations: int = 10,
+    damping: float = DAMPING,
+    init_mass: float = INIT_RANK,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    unroll: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to ``sources``.
+
+    Recurrence: rank'[v] = base[v] + d · Σ_{(u,v)∈E_in} rank[u]/outdeg(u),
+    base[v] = init_mass/|S| for v ∈ S else 0 — the reference recurrence
+    (pagerank_simple.c:62-84) with the uniform (1−d)/N teleport replaced
+    by a source-restricted vector; init rank = base keeps the reference's
+    init-equals-teleport convention (pagerank_simple.c:95), and there is
+    deliberately no dangling redistribution, matching global pagerank().
+    Not in the reference binary set — the standard link-graph extension
+    ("rank relative to these seed repos"); same physical plan as
+    pagerank(): persisted normalized adjacency never re-shuffled, state
+    shuffled to edges, base column carried through the loop so no per-
+    round rejoin against the source set.
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank: sources must be non-empty")
+    checkpoint = checkpointer or _default_checkpointer
+    srcs = sorted({int(s) for s in sources})
+    b = float(init_mass) / len(srcs)
+    norm_edges = graph.out_normalized_edges()
+    state = graph.vertices().select(
+        "id",
+        F.when(F.col("id").isin(srcs), F.lit(b)).otherwise(F.lit(0.0)).alias("base"),
+    )
+    state = checkpoint(state.withColumn("rank", F.col("base")), 0)
+
+    def one_round(s: DataFrame) -> DataFrame:
+        scattered = norm_edges.join(s, norm_edges["src"] == s["id"]).select(
+            F.col("dst"), (F.col("rank") * F.col("inv_out_deg")).alias("contrib")
+        )
+        contribs = scattered.groupBy("dst").agg(F.sum("contrib").alias("mass"))
+        return s.join(contribs, s["id"] == contribs["dst"], "left").select(
+            "id",
+            "base",
+            (
+                F.col("base")
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    step = min(max(1, unroll), 8)
+    it = 0
+    while it < iterations:
+        block = min(step, iterations - it)
+        cur = state
+        for _ in range(block):
+            cur = one_round(cur)
+        it += block
+        state = checkpoint(cur.select("id", "base", "rank"), it)
+    return state.select("id", "rank")

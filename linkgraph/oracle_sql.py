@@ -625,3 +625,75 @@ SELECT vec_id, sim FROM (
 )
 ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
+
+
+def personalized_pagerank_sql(
+    sources: "list[int]", iterations: int = 10
+) -> str:
+    """DuckDB twin of operators.personalized_pagerank: the uniform
+    teleport becomes a source-restricted base vector (0.15/|S| on S, else
+    0); init = base; same no-dangling-redistribution recurrence as
+    pagerank_sql."""
+    srcs = sorted({int(s) for s in sources})
+    b = repr(0.15 / len(srcs))
+    in_list = ", ".join(str(s) for s in srcs)
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""r{k} AS (
+    SELECT v.id, v.base,
+           v.base + 0.85 * COALESCE(m.mass, 0.0) AS pr
+    FROM base v
+    LEFT JOIN (
+        SELECT ne.dst AS id, SUM(r.pr * ne.w) AS mass
+        FROM ne JOIN r{k - 1} r ON ne.src = r.id
+        GROUP BY ne.dst
+    ) m ON v.id = m.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, 1.0 / d.od AS w FROM edges e JOIN deg d ON e.src = d.src),
+base AS (
+    SELECT id, CASE WHEN id IN ({in_list}) THEN CAST({b} AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS base
+    FROM vertices
+),
+r0 AS (SELECT id, base, base AS pr FROM base),
+{",".join(rounds)}
+SELECT id, ROUND(pr, 6) AS pr FROM r{iterations}
+"""
+
+
+def reciprocity_sql() -> str:
+    return f"""
+WITH {EDGES_SQL},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+m AS (
+    SELECT COUNT(*) AS m FROM e
+    WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT ROUND(CAST(m.m AS DOUBLE) / CAST((SELECT COUNT(*) FROM e) AS DOUBLE), 6)
+       AS reciprocity
+FROM m
+"""
+
+
+def assortativity_sql() -> str:
+    return f"""
+WITH {EDGES_SQL},
+deg AS (
+    SELECT v.id,
+           CAST(COALESCE(o.c, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+    FROM vertices v
+    LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.src
+    LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.dst
+)
+SELECT ROUND(corr(CAST(ds.out_deg AS DOUBLE), CAST(dd.in_deg AS DOUBLE)), 6)
+       AS assortativity
+FROM edges e
+JOIN deg ds ON e.src = ds.id
+JOIN deg dd ON e.dst = dd.id
+"""

@@ -51,3 +51,42 @@ def test_pagerank_dangling_semantics(spark):
     # leaves receive only the teleport constant after iteration 1
     assert np.allclose(got[1:], (1 - 0.85) / n, atol=1e-12)
     g.unpersist()
+
+
+def test_personalized_pagerank_parity_numpy(spark):
+    """PPR vs a NumPy oracle of the same recurrence: base = 0.15/|S| on the
+    source set, init = base, no dangling redistribution."""
+    from linkgraph.operators import personalized_pagerank
+
+    edges, n = SMALL_FIXTURES["two_cliques"]()
+    g = make_graph(spark, edges, n)
+    sources = [0, 1]
+    got = _ranks_array(personalized_pagerank(g, sources, iterations=10), n)
+
+    base = np.zeros(n)
+    base[sources] = 0.15 / len(sources)
+    outdeg = np.bincount(edges[:, 0], minlength=n).astype(float)
+    r = base.copy()
+    for _ in range(10):
+        contrib = np.zeros(n)
+        w = np.where(outdeg[edges[:, 0]] > 0, r[edges[:, 0]] / outdeg[edges[:, 0]], 0.0)
+        np.add.at(contrib, edges[:, 1], w)
+        r = base + 0.85 * contrib
+    assert np.allclose(got, r, atol=1e-9)
+    # mass is zero outside the sources' reachable set
+    assert got[sources[0]] > 0
+    g.unpersist()
+
+
+def test_personalized_pagerank_unreachable_mass_zero(spark):
+    """On a chain, PPR from the LAST vertex gives zero to everything the
+    source cannot reach (all predecessors)."""
+    from linkgraph.operators import personalized_pagerank
+    from tests.conftest import chain_edges
+
+    edges, n = chain_edges(16)
+    g = make_graph(spark, edges, n)
+    got = _ranks_array(personalized_pagerank(g, [n - 1], iterations=10), n)
+    assert got[n - 1] == pytest.approx(0.15)
+    assert np.all(got[: n - 1] == 0.0)
+    g.unpersist()

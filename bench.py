@@ -194,7 +194,14 @@ def main() -> None:
 
         from linkgraph.operators.wcc import wcc_large_small_star
 
+        from linkgraph.operators import personalized_pagerank
+
         timed_big("pagerank10", lambda: pagerank(bg, iterations=10).count(), rounds=10)
+        timed_big(
+            "ppr10",
+            lambda: personalized_pagerank(bg, sources=[0, 1, 2, 3], iterations=10).count(),
+            rounds=10,
+        )
         timed_big("spmv", lambda: spmv(bg).count())
         timed_big("wcc", lambda: wcc(bg).count())
         timed_big("wcc_lss", lambda: wcc_large_small_star(bg).count())

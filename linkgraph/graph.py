@@ -193,6 +193,28 @@ class Graph:
             self._cache["norm"] = norm
         return self._cache["norm"]
 
+    def edges_with_dst_out_deg(self) -> DataFrame:
+        """(src, dst, weight, dst_out_deg) — edges pre-joined with
+        outdeg(dst), persisted once (the traversal sibling of
+        :meth:`out_normalized_edges`). BFS/SSSP aggregate the next
+        frontier's out-degree sum IN the relaxation groupBy itself, so the
+        reference's degree-weighted direction statistic (bfs_simple.c:191,
+        buffer.c:272-282) costs zero per-level joins — one build-time
+        shuffle buys every level of every traversal."""
+        if "dst_deg" not in self._cache:
+            out_d = self.edges.groupBy(F.col("src").alias("_v")).agg(
+                F.count("*").alias("dst_out_deg")
+            )
+            e = (
+                self.edges.join(out_d, self.edges["dst"] == F.col("_v"), "left")
+                .drop("_v")
+                .withColumn("dst_out_deg", F.coalesce("dst_out_deg", F.lit(0)))
+                .repartition(self.num_partitions, "src")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._cache["dst_deg"] = e
+        return self._cache["dst_deg"]
+
     def unpersist(self) -> None:
         self.edges.unpersist()
         for v in self._cache.values():

@@ -67,6 +67,14 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         return _run_doc_algo(spark, args)
 
+    if not (args.source or args.edges):
+        print(
+            f"graph algo {args.algo!r} requires --source or --edges (--docs "
+            f"is only for doc algos: {', '.join(DOC_ALGOS)})",
+            file=sys.stderr,
+        )
+        return 2
+
     if args.source:
         source = spark.read.parquet(args.source)
         edges, ids = extract_edges(source, dedupe=True, drop_self=True)

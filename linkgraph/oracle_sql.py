@@ -24,12 +24,17 @@ def _md5_60_duck(inner_sql: str) -> str:
 
 
 def _shingles_cte(k: int) -> str:
-    """toks + sh CTE bodies — the DuckDB twin of docs.shingles()."""
+    """toks + sh CTE bodies — the DuckDB twin of docs.shingle_hashes():
+    ``sh`` carries the DISTINCT 60-bit md5 of each doc's shingles, so
+    sizes and intersections are keyed on the SAME hash as the engine —
+    parity is exact by construction, not merely modulo md5-60 collisions
+    (ADVICE r02)."""
+    shingle = f"array_to_string(t[i+1:i+{k}], ' ')"
     return f"""toks AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
 ),
 sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i+1:i+{k}], ' ') AS shingle
+    SELECT DISTINCT doc_id, {_md5_60_duck(shingle)} AS x
     FROM toks, UNNEST(generate_series(0, greatest(len(t)-{k}, 0))) AS u(i)
 )"""
 
@@ -60,7 +65,7 @@ def _minhash_ctes(
     )
     return f"""{_shingles_cte(k)},
 hb AS (
-    SELECT doc_id, {_md5_60_duck('shingle')} % {P} AS x FROM sh
+    SELECT doc_id, x % {P} AS x FROM sh
 ),
 sig AS (SELECT doc_id, {sig_cols} FROM hb GROUP BY doc_id),
 banded AS ({" UNION ALL ".join(band_rows)}),
@@ -288,7 +293,7 @@ WITH RECURSIVE {_minhash_ctes(num_hashes, bands, k, seed, max_bucket_size)},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
 verified AS (
@@ -344,17 +349,11 @@ FROM toks
 
 def ngram_jaccard_sql(k: int = 5, min_jaccard: float = 0.5) -> str:
     return f"""
-WITH toks AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
-),
-sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i+1:i+{k}], ' ') AS shingle
-    FROM toks, UNNEST(generate_series(0, greatest(len(t)-{k}, 0))) AS u(i)
-),
+WITH {_shingles_cte(k)},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,

@@ -92,8 +92,10 @@ def stream_dedup(
     schema: str = "doc_id long, ts timestamp, text string",
     watermark: str = "24 hours",
 ) -> DataFrame:
-    """Streaming exact dedup: keep the FIRST arrival of each document
-    content, drop replays in later micro-batches.
+    """Streaming exact dedup: exactly one arrival per distinct document
+    content passes (the first across micro-batches; arbitrary within a
+    single micro-batch — ``dropDuplicatesWithinWatermark`` does not
+    promise the min-ts row survives an intra-batch tie).
 
     Built on the engine's streaming ``dropDuplicatesWithinWatermark`` over
     ``sha2(text)`` — the state store holds one 32-byte key per distinct
@@ -159,7 +161,13 @@ def stream_sessionize(
             return
         # one user's batch slice fits comfortably in memory (events are
         # already grouped); sessions are split by gap WITHIN the batch too,
-        # since an availableNow run can deliver hours of history at once
+        # since an availableNow run can deliver hours of history at once.
+        # The session list stays SORTED BY START: a late-but-in-watermark
+        # event joins a session only if it lands within gap of the
+        # session's span on EITHER side (start - gap <= t <= end + gap);
+        # an event older than start - gap forms its own earlier session
+        # instead of stretching the live one backward (which would
+        # miscount sessions whenever the watermark delay exceeds the gap).
         ts_all = pd.concat(
             [pdf["ts"] for pdf in pdf_iter], ignore_index=True
         ).astype("int64") // 1000  # ns → us
@@ -169,12 +177,21 @@ def stream_sessionize(
             sessions.append([s0, e0, n0])
         for t in ts_all.sort_values():
             t = int(t)
-            if sessions and t - sessions[-1][1] <= gap_us:
-                # a late-but-in-watermark event can PRECEDE the stored
-                # session's start — extend both ends, not just the end
-                sessions[-1][0] = min(sessions[-1][0], t)
-                sessions[-1][1] = max(sessions[-1][1], t)
-                sessions[-1][2] += 1
+            for i, s in enumerate(sessions):
+                if t < s[0] - gap_us:
+                    sessions.insert(i, [t, t, 1])
+                    break
+                if t <= s[1] + gap_us:  # within gap of this session's span
+                    s[0] = min(s[0], t)
+                    s[1] = max(s[1], t)
+                    s[2] += 1
+                    # the widened span may now bridge to the next session
+                    if i + 1 < len(sessions) and sessions[i + 1][0] - s[1] <= gap_us:
+                        nxt = sessions.pop(i + 1)
+                        s[0] = min(s[0], nxt[0])
+                        s[1] = max(s[1], nxt[1])
+                        s[2] += nxt[2]
+                    break
             else:
                 sessions.append([t, t, 1])
         closed, live = sessions[:-1], sessions[-1]

@@ -219,3 +219,53 @@ def test_stream_sessionize_late_event_extends_session_start(spark, tmp_path):
     assert u1[0]["session_start"] == t0 - dt.timedelta(minutes=15)
     assert u1[0]["session_end"] == t0
     assert u1[0]["n_events"] == 2
+
+
+def test_stream_sessionize_old_late_event_forms_own_session(spark, tmp_path):
+    """ADVICE r02 (medium): with watermark delay > gap, a late event older
+    than session_start - gap must form its OWN earlier session instead of
+    stretching the live session backward (which would miscount sessions)."""
+    import datetime as dt
+
+    from linkgraph.streaming import stream_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src_dir = str(tmp_path / "ev")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src_dir)
+            .withWatermark("ts", "24 hours")
+        )
+        q = (
+            stream_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_batch([(1, t0)])
+    # 6 h earlier: inside the 24 h watermark but far beyond the 30 min gap
+    # → a separate, earlier session (and it must be emitted as CLOSED,
+    # since the live session's span can never reach back within gap of it)
+    run_batch([(1, t0 - dt.timedelta(hours=6))])
+    # advance the watermark so the live session also times out
+    run_batch([(2, t0 + dt.timedelta(days=3))])
+
+    u1 = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] == 1
+    )
+    assert len(u1) == 2
+    assert u1[0] == (t0 - dt.timedelta(hours=6), t0 - dt.timedelta(hours=6), 1)
+    assert u1[1] == (t0, t0, 1)

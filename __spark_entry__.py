@@ -193,17 +193,25 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 def _q_lsh_knn(spark, sf_dir):
-    return similarity.lsh_cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, num_bits=4)
+    """num_bands=2 exercises the OR-amplified multi-band path (round 3)
+    — the oracle mirrors both bands' plane sets."""
+    return similarity.lsh_cosine_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, num_bits=4, num_bands=2
+    )
 
 
 def _q_cosine_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, bucket-restricted (never
-    all-pairs). min_sim tuned to the gate embeddings' distribution
-    (max pairwise cosine ≈ 0.51) so the result is non-trivial.
-    max_bucket_size=None matches the UNCAPPED oracle exactly (see
-    _q_fp_overlap)."""
+    all-pairs), OR-amplified over 2 bands. min_sim tuned to the gate
+    embeddings' distribution (max pairwise cosine ≈ 0.51) so the result
+    is non-trivial. max_bucket_size=None matches the UNCAPPED oracle
+    exactly (see _q_fp_overlap)."""
     return similarity.cosine_dup_pairs(
-        _emb(spark, sf_dir), min_sim=0.3, num_bits=4, max_bucket_size=None
+        _emb(spark, sf_dir),
+        min_sim=0.3,
+        num_bits=4,
+        num_bands=2,
+        max_bucket_size=None,
     )
 
 
@@ -321,8 +329,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": osql.minhash_pairs_sql(),
         "simhash": osql.simhash_sql(),
         "dedup_clusters": osql.dedup_clusters_sql(),
-        "lsh_knn": osql.lsh_knn_sql(query_vec_id=0, k=10, num_bits=4, dim=64),
-        "cosine_dups": osql.cosine_dup_pairs_sql(min_sim=0.3, num_bits=4, dim=64),
+        "lsh_knn": osql.lsh_knn_sql(
+            query_vec_id=0, k=10, num_bits=4, dim=64, num_bands=2
+        ),
+        "cosine_dups": osql.cosine_dup_pairs_sql(
+            min_sim=0.3, num_bits=4, dim=64, num_bands=2
+        ),
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
         "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),

@@ -386,40 +386,53 @@ def lsh_knn_sql(
     num_bits: int = 4,
     dim: int = 64,
     seed: int = 42,
+    num_bands: int = 1,
 ) -> str:
     """DuckDB twin of similarity.lsh_cosine_topk: the md5-seeded plane
     matrix (similarity.plane_matrix — same function the Spark UDF uses)
     is inlined as float64 literals; bucket = sum of sign bits; exact
-    cosine within the query's bucket. ``dim`` must match the embeddings
-    table (the gate table is 64-dim; the Spark UDF raises on mismatch,
-    so drift fails loudly on the engine side first)."""
+    cosine among rows sharing the query's bucket in ANY band
+    (OR-amplification). ``dim`` must match the embeddings table (the gate
+    table is 64-dim; the Spark UDF raises on mismatch, so drift fails
+    loudly on the engine side first)."""
+    bcols = ", ".join(
+        f"{_bucket_expr_duck(num_bits, dim, seed, band, num_bands)} AS b{band}"
+        for band in range(num_bands)
+    )
+    any_band = " OR ".join(f"e.b{band} = q.b{band}" for band in range(num_bands))
     return f"""
 WITH b AS (
-    SELECT vec_id, embedding, {_bucket_expr_duck(num_bits, dim, seed)} AS bucket
+    SELECT vec_id, embedding, {bcols}
     FROM embeddings
 ),
 q AS (
-    SELECT bucket AS qb, embedding::DOUBLE[] AS qv FROM b WHERE vec_id = {query_vec_id}
+    SELECT {', '.join(f'b{band}' for band in range(num_bands))},
+           embedding::DOUBLE[] AS qv
+    FROM b WHERE vec_id = {query_vec_id}
 )
 SELECT vec_id, sim FROM (
     SELECT e.vec_id,
            ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
     FROM b e, q
-    WHERE e.vec_id <> {query_vec_id} AND e.bucket = q.qb
+    WHERE e.vec_id <> {query_vec_id} AND ({any_band})
 )
 ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
 
 
-def _bucket_expr_duck(num_bits: int, dim: int, seed: int) -> str:
-    """DuckDB hyperplane-bucket expression with the plane matrix inlined
-    as float64 literals (same similarity.plane_matrix values)."""
+def _bucket_expr_duck(
+    num_bits: int, dim: int, seed: int, band: int = 0, num_bands: int = 1
+) -> str:
+    """DuckDB hyperplane-bucket expression for one band, with the plane
+    matrix inlined as float64 literals (same similarity.plane_matrix
+    values; band b = rows [b·num_bits, (b+1)·num_bits) of the taller
+    matrix, exactly as similarity._band_buckets_udf slices it)."""
     from linkgraph.similarity import plane_matrix
 
-    planes = plane_matrix(num_bits, dim, seed)
+    planes = plane_matrix(num_bits * num_bands, dim, seed)
     terms = []
     for p in range(num_bits):
-        lits = ", ".join(repr(float(x)) for x in planes[p])
+        lits = ", ".join(repr(float(x)) for x in planes[band * num_bits + p])
         terms.append(
             f"(CASE WHEN list_inner_product(embedding::DOUBLE[], [{lits}]) >= 0.0 "
             f"THEN {1 << p} ELSE 0 END)"
@@ -432,18 +445,25 @@ def cosine_dup_pairs_sql(
     num_bits: int = 4,
     dim: int = 64,
     seed: int = 42,
+    num_bands: int = 1,
 ) -> str:
     """DuckDB twin of similarity.cosine_dup_pairs (no bucket cap at gate
-    scale — buckets are ~30 rows)."""
+    scale — buckets are ~30 rows): a pair qualifies by sharing a bucket
+    in ANY band, scored once."""
+    bcols = ", ".join(
+        f"{_bucket_expr_duck(num_bits, dim, seed, band, num_bands)} AS b{band}"
+        for band in range(num_bands)
+    )
+    any_band = " OR ".join(f"x.b{band} = y.b{band}" for band in range(num_bands))
     return f"""
 WITH bk AS (
-    SELECT vec_id, embedding, {_bucket_expr_duck(num_bits, dim, seed)} AS bucket
+    SELECT vec_id, embedding, {bcols}
     FROM embeddings
 )
 SELECT vec_a, vec_b, sim FROM (
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
            ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS sim
-    FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    FROM bk x JOIN bk y ON ({any_band}) AND x.vec_id < y.vec_id
 )
 WHERE sim >= {min_sim}
 """

@@ -1,0 +1,177 @@
+"""Multi-band (OR-amplified) embedding LSH — recall on planted near-dups.
+
+VERDICT r02 'Next round' #3: single-band sign-LSH recall falls
+geometrically with num_bits; banding (b independent plane sets, union of
+bucket joins — the embedding twin of docs.py's minhash banding) must
+recover it. The fixture plants near-dup vector pairs at cosine ≈ 0.97
+(angle ≈ 0.24 rad), where a single 8-bit band retains only ~(1-θ/π)^8 ≈
+0.53 of pairs — low enough that amplification is measurably load-bearing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+N_BASE = 600
+N_DUPS = 100
+DIM = 32
+NOISE = 0.25  # ||noise||/||base|| → planted cosine ≈ 1/sqrt(1+ε²) ≈ 0.970
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """(df, planted_pairs): N_BASE random unit-ish vectors; vector
+    N_BASE+i is base[i] plus gaussian noise (cosine ≈ 0.97)."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(N_BASE, DIM)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.randn(N_DUPS, DIM)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dups = base[:N_DUPS] + NOISE * noise
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)] + [
+        (N_BASE + i, [float(x) for x in v]) for i, v in enumerate(dups)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.repartition(8).persist()
+    df.count()
+    pairs = {(i, N_BASE + i) for i in range(N_DUPS)}
+    yield df, pairs
+    df.unpersist()
+
+
+def _recall(found_df, planted_pairs):
+    got = {
+        (min(r["vec_a"], r["vec_b"]), max(r["vec_a"], r["vec_b"]))
+        for r in found_df.collect()
+    }
+    return len(got & planted_pairs) / len(planted_pairs)
+
+
+def test_multiband_recall_meets_bar(spark, planted):
+    """Banded cosine_dup_pairs at num_bits=8 must reach recall >= 0.95 —
+    the round-3 'done' bar — where a single band demonstrably cannot."""
+    from linkgraph.similarity import cosine_dup_pairs
+
+    df, pairs = planted
+    single = cosine_dup_pairs(
+        df, min_sim=0.9, num_bits=8, num_bands=1, max_bucket_size=None
+    )
+    multi = cosine_dup_pairs(
+        df, min_sim=0.9, num_bits=8, num_bands=8, max_bucket_size=None
+    )
+    r1 = _recall(single, pairs)
+    r8 = _recall(multi, pairs)
+    # analytic single-band recall ~0.53 at cos 0.97 / 8 bits; 100 planted
+    # pairs → std ~5pp, so 0.80 is a >5-sigma ceiling
+    assert r1 < 0.80, f"single-band recall {r1} — fixture not adversarial enough"
+    assert r8 >= 0.95, f"multi-band recall {r8} < 0.95"
+    assert r8 >= r1
+
+
+def test_multiband_recall_monotone_in_bands(spark, planted):
+    """Recall is (statistically) monotone in the band count — the recall
+    curve the OR-amplification formula 1-(1-p)^b predicts."""
+    from linkgraph.similarity import cosine_dup_pairs
+
+    df, pairs = planted
+    recalls = [
+        _recall(
+            cosine_dup_pairs(
+                df, min_sim=0.9, num_bits=8, num_bands=b, max_bucket_size=None
+            ),
+            pairs,
+        )
+        for b in (1, 4, 8)
+    ]
+    # allow sampling noise but require a clearly rising curve
+    assert recalls[1] >= recalls[0] + 0.1
+    assert recalls[2] >= recalls[1]
+
+
+def test_multiband_pairs_scored_once(spark, planted):
+    """A pair colliding in several bands must appear exactly once."""
+    from linkgraph.similarity import cosine_dup_pairs
+
+    df, _ = planted
+    out = cosine_dup_pairs(
+        df, min_sim=0.9, num_bits=8, num_bands=8, max_bucket_size=None
+    )
+    rows = out.groupBy("vec_a", "vec_b").count().filter("count > 1").count()
+    assert rows == 0
+
+
+def test_multiband_lsh_topk_beats_single_band(spark, planted):
+    """lsh_cosine_topk with bands finds the planted neighbor for queries
+    a single band misses; every returned neighbor is exact-cosine-scored."""
+    from linkgraph.similarity import cosine_topk, lsh_cosine_topk
+
+    df, _ = planted
+    hits_1 = hits_8 = 0
+    queries = list(range(20))  # query base[i]; planted neighbor N_BASE+i
+    for q in queries:
+        want = N_BASE + q
+        top1 = [
+            r["vec_id"]
+            for r in lsh_cosine_topk(
+                df, query_vec_id=q, k=1, num_bits=8, num_bands=1
+            ).collect()
+        ]
+        top8 = [
+            r["vec_id"]
+            for r in lsh_cosine_topk(
+                df, query_vec_id=q, k=1, num_bits=8, num_bands=8
+            ).collect()
+        ]
+        hits_1 += want in top1
+        hits_8 += want in top8
+    assert hits_8 >= 19  # near-perfect recall with 8 bands
+    assert hits_8 > hits_1  # amplification is load-bearing on this fixture
+    # spot-check scores agree with brute force for one query
+    brute = cosine_topk(df, query_vec_id=0, k=1).collect()[0]
+    approx = lsh_cosine_topk(df, query_vec_id=0, k=1, num_bits=8, num_bands=8).collect()[0]
+    assert approx["vec_id"] == brute["vec_id"]
+    assert abs(approx["sim"] - brute["sim"]) < 1e-9
+
+
+def test_multiband_index_partition_pruning(spark, planted, tmp_path):
+    """write_ann_index(num_bands=3) + ann_index_topk: the scan reads only
+    the query's (band, bucket) partitions and dedups cross-band hits."""
+    from linkgraph.similarity import (
+        ann_index_topk,
+        query_band_buckets,
+        write_ann_index,
+    )
+
+    df, _ = planted
+    path = str(tmp_path / "annidx")
+    write_ann_index(df, path, num_bits=4, dim=DIM, num_bands=3)
+    qv = df.filter("vec_id = 0").collect()[0]["embedding"]
+    out = ann_index_topk(
+        spark, path, qv, k=5, num_bits=4, num_bands=3, exclude_vec_id=0
+    )
+    rows = out.collect()
+    assert rows and rows[0]["vec_id"] == N_BASE  # planted dup of base[0]
+    # pruning: the scan carries PartitionFilters on band AND bucket —
+    # applied at file listing (inputFiles() reports the PRE-pruning list,
+    # so inspect the executed plan, as test_ann_index_partition_pruning does)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert any(
+        "band" in l and "bucket" in l and "[]" not in l.split("PartitionFilters:")[1][:80]
+        for l in pf_lines
+    ), pf_lines
+    # the driver-side bucket routing agrees with the stored partitions:
+    # every returned row lives in one of the query's (band, bucket) cells
+    qbs = query_band_buckets(qv, num_bits=4, num_bands=3)
+    stored = spark.read.parquet(path)
+    cond = None
+    for b, qb in enumerate(qbs):
+        c = f"(band = {b} AND bucket = {qb})"
+        cond = c if cond is None else f"{cond} OR {c}"
+    in_cells = {r["vec_id"] for r in stored.filter(cond).collect()}
+    assert all(r["vec_id"] in in_cells for r in rows)
+    # no duplicate vec_ids despite multi-band collisions
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))

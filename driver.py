@@ -36,16 +36,33 @@ from linkgraph.runner import CheckpointStore
 
 ALGOS = ("pagerank", "wcc", "labelprop", "triangles", "bfs", "sssp", "spmv")
 # training-data pipeline stages over a documents table (--docs input)
-DOC_ALGOS = ("dedup", "dedup_clusters", "token_stats", "fingerprints", "language_id")
+DOC_ALGOS = (
+    "dedup",
+    "dedup_clusters",
+    "token_stats",
+    "fingerprints",
+    "language_id",
+    "minhash_pairs",
+)
+# ANN index builds over an embeddings table (--embeddings input)
+ANN_ALGOS = ("ann_index", "ivf_index")
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="linkgraph driver")
-    p.add_argument("--algo", required=True, choices=ALGOS + DOC_ALGOS)
+    p.add_argument("--algo", required=True, choices=ALGOS + DOC_ALGOS + ANN_ALGOS)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--source", help="source-code table path (repo,path,commit,lang,content)")
     src.add_argument("--edges", help="pre-built edge table path (src,dst[,weight])")
     src.add_argument("--docs", help="documents table path (doc_id,text,...) for doc algos")
+    src.add_argument(
+        "--embeddings", help="embeddings table path (vec_id,embedding) for ANN index builds"
+    )
+    p.add_argument("--max-bucket-size", type=int, default=10_000,
+                   help="minhash LSH bucket cap (0 = uncapped)")
+    p.add_argument("--num-bits", type=int, default=8, help="LSH bits per band")
+    p.add_argument("--num-bands", type=int, default=1, help="LSH OR-amplification bands")
+    p.add_argument("--num-centroids", type=int, default=16, help="IVF centroid count")
     p.add_argument("--output", required=True, help="result table path")
     p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
     p.add_argument("--run-id", default="run0")
@@ -67,10 +84,17 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         return _run_doc_algo(spark, args)
 
+    if args.algo in ANN_ALGOS:
+        if not args.embeddings:
+            print("ANN index builds require --embeddings", file=sys.stderr)
+            return 2
+        return _run_ann_index(spark, args)
+
     if not (args.source or args.edges):
         print(
-            f"graph algo {args.algo!r} requires --source or --edges (--docs "
-            f"is only for doc algos: {', '.join(DOC_ALGOS)})",
+            f"graph algo {args.algo!r} requires --source or --edges "
+            f"(--docs is only for {', '.join(DOC_ALGOS)}; "
+            f"--embeddings only for {', '.join(ANN_ALGOS)})",
             file=sys.stderr,
         )
         return 2
@@ -126,15 +150,32 @@ def main(argv: list[str] | None = None) -> int:
 
 def _run_doc_algo(spark: SparkSession, args) -> int:
     """Training-data pipeline stages, launchable via the same
-    spark-submit surface as the graph kernels."""
+    spark-submit surface as the graph kernels. ``dedup_clusters``
+    honors --checkpoint-root/--run-id (durable multi-stage resume);
+    ``minhash_pairs`` also writes the dropped-buckets audit trail to
+    ``<output>_dropped_buckets`` so capped coverage is never silent."""
     from linkgraph import docs as docmod
 
     documents = spark.read.parquet(args.docs)
+    cap = args.max_bucket_size if args.max_bucket_size > 0 else None
+    extra: dict = {}
     t0 = time.monotonic()
     if args.algo == "dedup":
         result = docmod.exact_dedup(documents, by_hash=True)
     elif args.algo == "dedup_clusters":
-        result = docmod.dedup_clusters(documents)
+        store = None
+        if args.checkpoint_root:
+            store = CheckpointStore(
+                spark, args.checkpoint_root, args.algo, args.run_id
+            )
+        result = docmod.dedup_clusters(documents, max_bucket_size=cap, store=store)
+    elif args.algo == "minhash_pairs":
+        result = docmod.minhash_candidate_pairs(documents, max_bucket_size=cap)
+        audit = docmod.minhash_dropped_buckets(documents, max_bucket_size=cap)
+        audit_path = args.output.rstrip("/") + "_dropped_buckets"
+        audit.write.mode("overwrite").parquet(audit_path)
+        extra["dropped_buckets_output"] = audit_path
+        extra["dropped_buckets"] = spark.read.parquet(audit_path).count()
     elif args.algo == "token_stats":
         result = docmod.token_stats(documents)
     elif args.algo == "fingerprints":
@@ -151,6 +192,44 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
                 "wall_sec": round(wall, 3),
                 "n_docs": documents.count(),
                 "output": args.output,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def _run_ann_index(spark: SparkSession, args) -> int:
+    """Persisted ANN index builds ((band,bucket)- or cell-partitioned
+    parquet, partition-pruned at query time) through the CLI surface."""
+    from linkgraph import similarity
+
+    embeddings = spark.read.parquet(args.embeddings)
+    t0 = time.monotonic()
+    extra: dict = {}
+    if args.algo == "ann_index":
+        similarity.write_ann_index(
+            embeddings,
+            args.output,
+            num_bits=args.num_bits,
+            num_bands=args.num_bands,
+        )
+    else:
+        cents = similarity.write_ivf_index(
+            embeddings, args.output, num_centroids=args.num_centroids
+        )
+        extra["num_centroids"] = len(cents)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "algo": args.algo,
+                "run_id": args.run_id,
+                "wall_sec": round(wall, 3),
+                "n_vectors": embeddings.count(),
+                "output": args.output,
+                **extra,
             }
         )
     )

@@ -158,3 +158,93 @@ def test_metrics_scoped_and_empty(spark, tmp_path):
     assert s1.metrics().select("run_id").distinct().collect()[0]["run_id"] == "runX"
     assert s2.metrics().select("run_id").distinct().collect()[0]["run_id"] == "runY"
     g.unpersist()
+
+
+class _CrashingStore:
+    """CheckpointStore wrapper that raises after N successful commits —
+    the kill-mid-run harness for multi-stage pipelines."""
+
+    def __init__(self, inner, fail_after: int):
+        self._inner = inner
+        self._left = fail_after
+
+    def checkpointer(self, df, iteration):
+        if self._left <= 0:
+            raise RuntimeError("simulated crash")
+        self._left -= 1
+        return self._inner.checkpointer(df, iteration)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _chain_docs(spark):
+    """3 groups of 4 docs forming near-dup CHAINS (adjacent jaccard >= 0.6,
+    ends dissimilar) + 8 singletons: components need transitivity and more
+    than one propagation round."""
+    rows = []
+    for g in range(3):
+        toks = [f"g{g}w{j}" for j in range(40)]
+        variants = [list(toks)]
+        for step in range(1, 4):
+            v = list(variants[-1])
+            lo = (step - 1) * 5
+            for j in range(lo, lo + 4):  # mutate a sliding 4-token window
+                v[j] = f"g{g}x{step}{j}"
+            variants.append(v)
+        for i, v in enumerate(variants):
+            rows.append((g * 10 + i, " ".join(v), "en", "s", 0))
+    for s in range(8):
+        rows.append((100 + s, " ".join(f"solo{s}tok{j}" for j in range(40)), "en", "s", 0))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_dedup_clusters_resume_identical(spark, tmp_path):
+    """North rule for the docs pipeline (VERDICT r02 missing #2): crash
+    after the candidate commit, after the verify commit, and mid-component
+    rounds — each relaunch skips completed stages and lands the identical
+    keep-list."""
+    from linkgraph import docs as docmod
+
+    documents = _chain_docs(spark)
+    want = sorted(
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in docmod.dedup_clusters(documents).collect()
+    )
+    # sanity: chains actually clustered transitively
+    assert (0, 0, True) in want and (3, 0, False) in want
+
+    root = str(tmp_path / "dedup_ck")
+    for fail_after in (1, 2, 3):
+        store = CheckpointStore(spark, root, "dedup_clusters", f"run{fail_after}")
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            docmod.dedup_clusters(documents, store=_CrashingStore(store, fail_after))
+        assert store.latest_iteration() == fail_after - 1
+        got = sorted(
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in docmod.dedup_clusters(documents, store=store).collect()
+        )
+        assert got == want, f"fail_after={fail_after}"
+
+
+def test_dedup_clusters_resume_skips_stages(spark, tmp_path):
+    """A completed store-backed run, relaunched, reuses stored state (no
+    new iterations committed) and returns the same keep-list."""
+    from linkgraph import docs as docmod
+
+    documents = _chain_docs(spark)
+    store = CheckpointStore(spark, str(tmp_path / "ck2"), "dedup_clusters", "runS")
+    first = sorted(
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in docmod.dedup_clusters(documents, store=store).collect()
+    )
+    before = store.latest_iteration()
+    assert before >= 2  # candidates, verified, >=1 component round
+    again = sorted(
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in docmod.dedup_clusters(documents, store=store).collect()
+    )
+    assert again == first
+    assert store.latest_iteration() == before

@@ -81,10 +81,19 @@ def exact_dedup(documents: DataFrame, by_hash: bool = False) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, ASCII-anchored so Spark (Java regex)
+# and DuckDB (RE2) agree byte-for-byte: a token is a contraction tail,
+# a letter run (with optional leading space), a digit run, a punctuation
+# run, or residual whitespace. The "BPE-ish" count the brief asks for —
+# a far better proxy for LLM token budgets than whitespace words.
+_BPE_REGEX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\\\s]+"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-document text-quality metrics, all JVM-side expressions:
-    token count (whitespace), char count, mean token length, stopword
-    ratio — the standard quality-scoring features."""
+    token count (whitespace AND a BPE-ish regex pre-tokenizer), char
+    count, mean token length, stopword ratio, punctuation ratio — the
+    standard quality-scoring features."""
     toks = F.expr(_TOKENIZE)
     n_toks = F.size(toks)
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -92,9 +101,12 @@ def token_stats(documents: DataFrame) -> DataFrame:
     tok_chars = F.expr(
         f"aggregate(transform({_TOKENIZE}, t -> length(t)), 0, (a, x) -> a + x)"
     )
+    n_bpe = F.expr(f"size(regexp_extract_all(text, \"{_BPE_REGEX}\", 0))")
+    n_punct = F.expr("length(regexp_replace(text, '[^!-/:-@\\\\[-`{-~]', ''))")
     return documents.select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.round(
             tok_chars / F.nullif(n_toks.cast("double"), F.lit(0.0)), 6
@@ -102,6 +114,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.round(n_stop / F.nullif(n_toks.cast("double"), F.lit(0.0)), 6).alias(
             "stopword_ratio"
         ),
+        F.round(
+            n_punct / F.nullif(F.length("text").cast("double"), F.lit(0.0)), 6
+        ).alias("punct_ratio"),
     )
 
 
@@ -109,15 +124,24 @@ def _shingle_stream(documents: DataFrame, k: int) -> DataFrame:
     """(doc_id, shingle) — k-gram token shingles, RAW (duplicates kept):
     no shuffle. Consumers that need set semantics dedup on the 60-bit
     hash (shingle_hashes) so the dedup shuffle carries 8-byte keys, or
-    skip dedup entirely when their aggregate is idempotent (minhash)."""
+    skip dedup entirely when their aggregate is idempotent (minhash).
+
+    The tokenization is BOUND ONCE per document via a one-element-array
+    lambda (``transform(array(split(..)), t -> ...)``): Catalyst performs
+    no loop-invariant hoisting inside higher-order-function lambdas, so
+    referencing the split expression directly in the per-position lambda
+    re-ran the regex split once per shingle POSITION (~200×/doc — 3.4×
+    the whole minhash pipeline's cost at the 200k-doc bench; caught by
+    stage profiling in round 3). A lambda variable is a bound reference,
+    immune to both the re-evaluation and projection collapse."""
+    shingles_expr = (
+        f"transform(array({_TOKENIZE}), t -> "
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
+        f"i -> array_join(slice(t, i + 1, {k}), ' ')))[0]"
+    )
     return documents.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, greatest(size({_TOKENIZE}) - {k}, 0)), "
-                f"i -> array_join(slice({_TOKENIZE}, i + 1, {k}), ' '))"
-            )
-        ).alias("shingle"),
+        F.explode(F.expr(shingles_expr)).alias("shingle"),
     )
 
 

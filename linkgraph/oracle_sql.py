@@ -331,6 +331,11 @@ FROM documents GROUP BY text
 
 def docs_token_stats_sql() -> str:
     stop_list = "'the','of','and','a','to','in','is','it','that','for'"
+    # DuckDB (RE2) twins of docs._BPE_REGEX / the ASCII-punct class; both
+    # engines' regex dialects agree on these ASCII-anchored patterns
+    # the leading apostrophe (contraction tails) is doubled for the SQL literal
+    bpe = "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    punct = "[^!-/:-@\\[-`{-~]"
     return f"""
 WITH toks AS (
     SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -338,11 +343,14 @@ WITH toks AS (
 )
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        ROUND(CAST(list_sum(list_transform(t, s -> length(s))) AS DOUBLE)
              / NULLIF(CAST(len(t) AS DOUBLE), 0.0), 6) AS mean_token_len,
        ROUND(CAST(len(list_filter(t, s -> s IN ({stop_list}))) AS DOUBLE)
-             / NULLIF(CAST(len(t) AS DOUBLE), 0.0), 6) AS stopword_ratio
+             / NULLIF(CAST(len(t) AS DOUBLE), 0.0), 6) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE)
+             / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio
 FROM toks
 """
 

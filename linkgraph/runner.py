@@ -9,9 +9,10 @@ per-partition lineage + metrics so a relaunched job resumes mid-algorithm.
 kernels already accept. Each call:
 
 1. writes the iteration's state to ``{root}/{algo}/{run_id}/iter_NNNNN``
-   (parquet here; format='iceberg' is a one-line swap on a cluster with an
-   Iceberg catalog — the layout (algo, run_id, iteration) mirrors the
-   Iceberg identity-partition spec we'd use);
+   (parquet by default; ``fmt='iceberg'`` swaps every write/read to
+   Iceberg Hadoop tables at the same layout — exercised by
+   tests/test_iceberg.py when the iceberg-spark runtime is on the
+   classpath, skipped otherwise);
 2. re-reads it — which BOTH truncates the logical plan (the iterative-plan
    lineage blowup fix) AND makes the returned DataFrame served from disk,
    so resume and continue see byte-identical state;
@@ -19,7 +20,8 @@ kernels already accept. Each call:
    partition_id, rows, wall_ms) to ``{root}/_metrics`` — the Spark analog
    of the reference's per-phase rdtsc timing (utils.h:86-94).
 
-Only directories containing Spark's ``_SUCCESS`` marker count as committed
+Only directories containing the format's commit marker (parquet:
+``_SUCCESS``; iceberg: its atomic ``metadata`` dir) count as committed
 iterations, so a crash mid-write is invisible to resume (the incomplete
 iteration is overwritten and redone).
 """
@@ -38,11 +40,27 @@ METRICS_SCHEMA = (
 
 
 class CheckpointStore:
-    def __init__(self, spark: SparkSession, root: str, algo: str, run_id: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        algo: str,
+        run_id: str,
+        fmt: str = "parquet",
+    ):
+        """``fmt`` is the one-line Iceberg swap the layout was designed
+        for: ``fmt='iceberg'`` writes each iteration as an Iceberg
+        (Hadoop-tables) table at the same path — requires the
+        iceberg-spark runtime on the classpath (tests/test_iceberg.py
+        probes for it and skips otherwise). Commit detection adapts:
+        parquet uses the _SUCCESS marker, Iceberg its atomic metadata
+        directory."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.algo = algo
         self.run_id = run_id
+        self.fmt = fmt
+        self._marker = "_SUCCESS" if fmt == "parquet" else "metadata"
 
     # ----------------------------------------------------------- layout
     def _run_dir(self) -> str:
@@ -58,9 +76,9 @@ class CheckpointStore:
     def checkpointer(self, df: DataFrame, iteration: int) -> DataFrame:
         t0 = time.monotonic()
         path = self._iter_dir(iteration)
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").format(self.fmt).save(path)
         wall_ms = (time.monotonic() - t0) * 1000.0
-        out = self.spark.read.parquet(path)
+        out = self.spark.read.format(self.fmt).load(path)
         lineage = (
             out.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
@@ -97,14 +115,14 @@ class CheckpointStore:
         for status in fs.listStatus(run_path):
             name = status.getPath().getName()
             if name.startswith("iter_") and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+                jvm.org.apache.hadoop.fs.Path(status.getPath(), self._marker)
             ):
                 k = int(name.split("_")[1])
                 best = k if best is None else max(best, k)
         return best
 
     def load(self, iteration: int) -> DataFrame:
-        return self.spark.read.parquet(self._iter_dir(iteration))
+        return self.spark.read.format(self.fmt).load(self._iter_dir(iteration))
 
     def committed_iterations(self) -> list[int]:
         """All committed (has _SUCCESS) iterations, ascending."""
@@ -116,7 +134,7 @@ class CheckpointStore:
         for status in fs.listStatus(run_path):
             name = status.getPath().getName()
             if name.startswith("iter_") and fs.exists(
-                jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+                jvm.org.apache.hadoop.fs.Path(status.getPath(), self._marker)
             ):
                 out.append(int(name.split("_")[1]))
         return sorted(out)
@@ -130,7 +148,9 @@ class CheckpointStore:
         its = [k for k in self.committed_iterations() if k <= iteration]
         if not its:
             raise ValueError(f"no committed iterations ≤ {iteration}")
-        return self.spark.read.parquet(*[self._iter_dir(k) for k in its])
+        return self.spark.read.format(self.fmt).load(
+            [self._iter_dir(k) for k in its]
+        )
 
     def metrics(self) -> DataFrame:
         """This run's lineage rows (filtered: the _metrics dir is shared

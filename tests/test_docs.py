@@ -60,6 +60,22 @@ def test_token_stats(spark, docs_df):
         sum(t in stop for t in toks) / len(toks), abs=1e-6
     )
     assert row[4]["n_tokens"] == 1
+    # BPE-ish + punct columns (round 3): pin on a crafted doc
+    import re
+
+    crafted = spark.createDataFrame(
+        [(9, "Don't count 123 twice!! ok", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r9 = token_stats(crafted).collect()[0]
+    want_bpe = re.findall(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+",
+        "Don't count 123 twice!! ok",
+    )
+    # Don | 't | count | 123 | twice | !! | ok
+    assert r9["n_bpe_tokens"] == len(want_bpe) == 7
+    # punct chars: ' ! ! → 3 of 26 chars
+    assert r9["punct_ratio"] == pytest.approx(3 / 26, abs=1e-6)
 
 
 def test_minhash_pairs(spark, docs_df):
@@ -489,3 +505,33 @@ def test_components_long_chain_converges(spark):
     rows = got.collect()
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {0}  # one chain, min-id root
+
+
+def test_shingle_stream_tokenize_once_parity(spark):
+    """Round-3 minhash speedup A/B: the tokenize-once shingle expression
+    (lambda-bound token array) must emit BYTE-IDENTICAL (doc_id, shingle)
+    multisets to the original formulation that re-split inside the
+    per-position lambda — the 5.6x speedup is free only if this holds."""
+    from linkgraph import docs as docmod
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "  leading and trailing   spaces\tplus tabs  ", "en", "s", 0),
+        (1, "UPPER lower MiXeD case tokens repeated repeated repeated", "en", "s", 0),
+        (2, "one two three four five six seven eight nine ten", "en", "s", 0),
+        (3, "short", "en", "s", 0),
+        (4, "a  b   c    d     e      f", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    k = 5
+    old_expr = (
+        f"transform(sequence(0, greatest(size({docmod._TOKENIZE}) - {k}, 0)), "
+        f"i -> array_join(slice({docmod._TOKENIZE}, i + 1, {k}), ' '))"
+    )
+    old = docs.select(
+        "doc_id", F.explode(F.expr(old_expr)).alias("shingle")
+    )
+    new = docmod._shingle_stream(docs, k)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))

@@ -350,7 +350,11 @@ def main() -> None:
             big_stats["emb_dim"] = VEC_DIM
 
             ann_path = f"{scratch}/ann"
-            ANN_BITS, ANN_BANDS = 8, 4
+            # 8 bits keeps buckets selective (~4k rows each at 1M vecs);
+            # 8 OR-bands lift recall@10 to ≥0.9 on the clustered corpus
+            # (within-cluster cos ≈ 0.92 → per-band hit ≈ 0.33 → 1-(1-p)^8
+            # ≈ 0.96; measured 0.74 at 4 bands in the first r03 run)
+            ANN_BITS, ANN_BANDS = 8, 8
             t = time.monotonic()
             write_ann_index(
                 emb, ann_path, num_bits=ANN_BITS, dim=VEC_DIM, num_bands=ANN_BANDS

@@ -99,17 +99,23 @@ def bfs(
         visited = store.load_upto(start)
         frontier = visited.filter(F.col("dist") == start)
         if "out_deg" not in frontier.columns:  # pre-round-3 store layout
-            frontier = with_out_deg(frontier.select("id"))
+            frontier = with_out_deg(frontier.select("id", "dist"))
         frontier_size, frontier_degree = delta_stats(frontier)
+        visited_rows = visited.count()
     else:
-        seed = with_out_deg(
-            graph.spark.createDataFrame(
-                [(int(root), 0, int(root))], "id long, dist long, parent long"
-            )
+        # root's out-degree via a filter on the persisted degree table —
+        # NOT a join: a 1-row ⋈ O(V) sort-merge join (AQE off) costs two
+        # full exchanges just to seed
+        deg_row = deg.filter(F.col("id") == int(root)).collect()
+        root_deg = int(deg_row[0]["out_deg"]) if deg_row else 0
+        seed = graph.spark.createDataFrame(
+            [(int(root), 0, int(root), root_deg)],
+            "id long, dist long, parent long, out_deg long",
         )
         visited = commit(seed, 0) if store is not None else scratch(seed, 0)
         frontier = visited
-        frontier_size, frontier_degree = delta_stats(frontier)
+        frontier_size, frontier_degree = 1, root_deg
+        visited_rows = 1
         start = 0
 
     for level in range(start + 1, max_iterations + 1):
@@ -118,8 +124,22 @@ def bfs(
         push = use_broadcast_frontier(
             frontier_size, frontier_degree, n_edges, row_cap=broadcast_frontier_max
         )
-        fr = frontier.select("id")
+        fr = frontier.select("id", "dist")
         f = F.broadcast(fr) if push else fr
+        # dist = frontier dist + 1 (all frontier rows share one level, so
+        # min just picks it up) rather than a lit(level) constant: a
+        # changing literal embeds in the generated code and busts the
+        # whole-stage-codegen cache EVERY level — with it derived from
+        # data, all push levels share one compiled plan (and all pull
+        # levels the other), which is most of a gate-scale level's cost
+        # the visited row count is tracked exactly (sum of deltas), so the
+        # anti-join side broadcasts while it fits — without the hint a
+        # LogicalRDD union has no statistics and Catalyst (AQE off in the
+        # kernel loops) falls back to a sort-merge anti-join with full
+        # exchanges on BOTH sides, every level
+        seen = visited.select("id")
+        if visited_rows <= broadcast_frontier_max:
+            seen = F.broadcast(seen)
         nxt = (
             edges.join(f, edges["src"] == f["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -128,11 +148,10 @@ def bfs(
                 # every edge into dst carries the same outdeg(dst) — min
                 # is just "pick it up" inside the aggregate already running
                 F.min("dst_out_deg").alias("out_deg"),
+                (F.min("dist") + F.lit(1)).alias("dist"),
             )
-            .join(visited.select("id"), "id", "left_anti")
-            .select(
-                "id", F.lit(level).cast("long").alias("dist"), "parent", "out_deg"
-            )
+            .join(seen, "id", "left_anti")
+            .select("id", "dist", "parent", "out_deg")
         )
         if store is not None:
             # delta commit: only the newly discovered rows hit the store;
@@ -146,6 +165,7 @@ def bfs(
         else:
             nxt = scratch(nxt, level)
         frontier_size, frontier_degree = delta_stats(nxt)
+        visited_rows += frontier_size
         frontier = nxt
         if frontier_size == 0:
             break

@@ -125,7 +125,12 @@ def sssp(
         )
         dist = checkpoint(dist, 0)
         frontier = dist.select("id", "dist")
-        frontier_size, frontier_degree = frontier_stats(frontier)
+        # root's out-degree via a filter on the persisted degree table —
+        # a 1-row ⋈ O(V) sort-merge join (AQE off) would cost two full
+        # exchanges just to seed the switch statistic
+        deg_row = deg.filter(F.col("id") == int(root)).collect()
+        frontier_size = 1
+        frontier_degree = int(deg_row[0]["out_deg"]) if deg_row else 0
         start = 0
 
     for it in range(start + 1, max_iterations + 1):

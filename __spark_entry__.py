@@ -215,6 +215,15 @@ def _q_cosine_dups(spark, sf_dir):
     )
 
 
+def _q_knn_join(spark, sf_dir):
+    """Batch approximate k-NN JOIN (round 3): top-5 cosine neighbors of
+    EVERY gate vector among its band-mates, 2 OR-bands — the k-NN-graph
+    builder; uncapped to match the exact oracle."""
+    return similarity.lsh_knn_join(
+        _emb(spark, sf_dir), k=5, num_bits=4, num_bands=2, max_bucket_size=None
+    )
+
+
 def _q_personalized_pagerank(spark, sf_dir):
     """Source-restricted teleport PageRank (seed repos 0-3), 10 rounds —
     the reference recurrence with a base vector instead of (1-d)/N."""
@@ -292,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "lsh_knn": _q_lsh_knn,
         "cosine_dups": _q_cosine_dups,
+        "knn_join": _q_knn_join,
         "fingerprints": _q_fingerprints,
         "fp_overlap": _q_fp_overlap,
         "ivf_knn": _q_ivf_knn,
@@ -335,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dups": osql.cosine_dup_pairs_sql(
             min_sim=0.3, num_bits=4, dim=64, num_bands=2
         ),
+        "knn_join": osql.knn_join_sql(k=5, num_bits=4, dim=64, num_bands=2),
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
         "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),

@@ -477,6 +477,41 @@ WHERE sim >= {min_sim}
 """
 
 
+def knn_join_sql(
+    k: int = 5,
+    num_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    num_bands: int = 2,
+) -> str:
+    """DuckDB twin of similarity.lsh_knn_join: any-band bucket self-join,
+    exact cosine, ROW_NUMBER top-k per query vector — same plane
+    literals, same (sim desc, nbr_id asc) tie-break."""
+    bcols = ", ".join(
+        f"{_bucket_expr_duck(num_bits, dim, seed, band, num_bands)} AS b{band}"
+        for band in range(num_bands)
+    )
+    any_band = " OR ".join(f"x.b{band} = y.b{band}" for band in range(num_bands))
+    return f"""
+WITH bk AS (
+    SELECT vec_id, embedding, {bcols}
+    FROM embeddings
+),
+cand AS (
+    SELECT DISTINCT x.vec_id, y.vec_id AS nbr_id,
+           ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS sim
+    FROM bk x JOIN bk y ON ({any_band}) AND x.vec_id <> y.vec_id
+),
+ranked AS (
+    SELECT vec_id, nbr_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank
+    FROM cand
+)
+SELECT vec_id, nbr_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def triangles_per_vertex_sql() -> str:
     return f"""
 WITH {EDGES_SQL},

@@ -336,6 +336,72 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_knn_join(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    num_bands: int = 1,
+    max_bucket_size: int | None = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN JOIN: (vec_id, nbr_id, sim, rank) — the top-k
+    cosine neighbors of EVERY vector among its LSH band-mates. This is
+    the batch operator that builds a k-NN graph in one dataflow
+    (embedding dedup, clustering, retrieval eval) — the single-query
+    :func:`lsh_cosine_topk` applied to all vectors WITHOUT a driver-side
+    loop over queries.
+
+    Plan shape: banded bucket self-join (never all-pairs; per-(band,
+    bucket) groups over ``max_bucket_size`` are dropped, and a pair
+    colliding in several bands is scored once) → exact cosine → per-query
+    top-k via a window over candidates only (rank = row_number by
+    (sim desc, nbr_id asc), deterministic). Vectors whose every bucket
+    was capped away simply emit no rows — recall cost, never precision.
+    """
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    banded = _banded_vectors(
+        embeddings, num_bits, dim, seed, num_bands, id_col, vec_col
+    )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
+    a = banded.select(
+        "band", "bucket", F.col("vec_id"), F.col("v").alias("va")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("vec_id").alias("nbr_id"), F.col("v").alias("vb")
+    )
+    scored = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .dropDuplicates(["vec_id", "nbr_id"])
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(
+                _dot("va", "vb") / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                6,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nbr_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # ----------------------------------------------------------------- IVF ANN
 def ivf_centroids(
     embeddings: DataFrame,

@@ -175,3 +175,25 @@ def test_multiband_index_partition_pruning(spark, planted, tmp_path):
     # no duplicate vec_ids despite multi-band collisions
     ids = [r["vec_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_knn_join_finds_planted_neighbors(spark, planted):
+    """Batch k-NN join: with 8 bands, each planted dup's rank-1 neighbor
+    must be its base vector (and vice versa) for nearly all pairs; ranks
+    are dense from 1 and capped at k."""
+    from linkgraph.similarity import lsh_knn_join
+
+    df, pairs = planted
+    out = lsh_knn_join(
+        df, k=3, num_bits=8, num_bands=8, max_bucket_size=None
+    ).collect()
+    top1 = {r["vec_id"]: r["nbr_id"] for r in out if r["rank"] == 1}
+    hits = sum(top1.get(a) == b and top1.get(b) == a for a, b in pairs)
+    assert hits >= 0.95 * len(pairs)
+    # rank integrity: per vec_id, ranks are 1..n (n <= k), no duplicates
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r["rank"])
+    for vid, ranks in by_vec.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (vid, ranks)
+        assert len(ranks) <= 3

@@ -170,6 +170,20 @@ def _q_docs_token_stats(spark, sf_dir):
     return docs.token_stats(_docs(spark, sf_dir))
 
 
+def _q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style heuristic quality gate (round 3) — the filter
+    stage beside dedup in a training-data pipeline."""
+    return docs.quality_filter(_docs(spark, sf_dir))
+
+
+def _q_docs_sample(spark, sf_dir):
+    """Deterministic md5-threshold 25% corpus sample (round 3) —
+    reproducible across engines, runs and partitionings."""
+    return docs.sample_documents(_docs(spark, sf_dir), rate=0.25).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return docs.ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, min_jaccard=0.5)
 
@@ -294,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "docs_dedup": _q_docs_dedup,
         "docs_token_stats": _q_docs_token_stats,
+        "quality_filter": _q_quality_filter,
+        "docs_sample": _q_docs_sample,
         "ngram_jaccard": _q_ngram_jaccard,
         "knn_cosine": _q_knn_cosine,
         "minhash_pairs": _q_minhash_pairs,
@@ -331,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": osql.degree_histogram_sql(),
         "docs_dedup": osql.docs_dedup_sql(),
         "docs_token_stats": osql.docs_token_stats_sql(),
+        "quality_filter": osql.quality_filter_sql(),
+        "docs_sample": osql.docs_sample_sql(rate=0.25),
         "ngram_jaccard": osql.ngram_jaccard_sql(k=5, min_jaccard=0.5),
         "knn_cosine": osql.knn_cosine_sql(query_vec_id=0, k=10),
         # the near-dup family hashes with the first 60 bits of md5

@@ -43,6 +43,8 @@ DOC_ALGOS = (
     "fingerprints",
     "language_id",
     "minhash_pairs",
+    "quality_filter",
+    "sample",
 )
 # ANN index builds over an embeddings table (--embeddings input)
 ANN_ALGOS = ("ann_index", "ivf_index")
@@ -63,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-bits", type=int, default=8, help="LSH bits per band")
     p.add_argument("--num-bands", type=int, default=1, help="LSH OR-amplification bands")
     p.add_argument("--num-centroids", type=int, default=16, help="IVF centroid count")
+    p.add_argument("--sample-rate", type=float, default=0.1,
+                   help="deterministic hash-sample keep rate for --algo sample")
     p.add_argument("--output", required=True, help="result table path")
     p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
     p.add_argument("--run-id", default="run0")
@@ -178,6 +182,10 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         extra["dropped_buckets"] = spark.read.parquet(audit_path).count()
     elif args.algo == "token_stats":
         result = docmod.token_stats(documents)
+    elif args.algo == "quality_filter":
+        result = docmod.quality_filter(documents)
+    elif args.algo == "sample":
+        result = docmod.sample_documents(documents, rate=args.sample_rate)
     elif args.algo == "fingerprints":
         result = docmod.fingerprints(documents)
     else:

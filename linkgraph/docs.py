@@ -615,6 +615,53 @@ def dedup_clusters(
     )
 
 
+def quality_filter(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """(doc_id, keep) — C4/Gopher-style heuristic quality gate composed
+    from :func:`token_stats` (length band, mean-token-length band,
+    punctuation ceiling, stopword floor): the standard pre-training
+    filter stage that sits beside dedup in every corpus pipeline. Pure
+    JVM expressions; thresholds are the usual published defaults, all
+    overridable. Compose with the keep-list as a semi-join:
+    ``documents.join(quality_filter(d).filter("keep"), "doc_id", "left_semi")``.
+    """
+    s = token_stats(documents)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_token_len") >= min_mean_token_len)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    return s.select("doc_id", keep.alias("keep"))
+
+
+def sample_documents(
+    documents: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic hash sample: keep a document iff the 60-bit md5 of
+    ``samp:<seed>:<doc_id>`` falls below ``rate``·2^60 — reproducible
+    across engines, runs, AND partitionings (``df.sample`` is none of
+    those: its RNG is seeded per partition, so the selected set changes
+    whenever the layout does). The standard way to cut a training corpus
+    to a token budget while keeping the cut auditable; disjoint seeds
+    give independent samples (held-out splits). Returns the full rows of
+    the kept documents."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * float(1 << 60))
+    h = _md5_60(f"concat('samp:{seed}:', CAST({id_col} AS STRING))")
+    return documents.filter(h < F.lit(threshold))
+
+
 # --------------------------------------------------------------- language id
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),

@@ -355,6 +355,41 @@ FROM toks
 """
 
 
+def quality_filter_sql(
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.0,
+) -> str:
+    """DuckDB twin of docs.quality_filter — the token_stats CTE with the
+    same keep predicate (an empty text tokenizes to [''] in both
+    engines, so n_tokens is never 0 and keep is never NULL)."""
+    return f"""
+WITH stats AS ({docs_token_stats_sql()})
+SELECT doc_id,
+       (n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}
+        AND mean_token_len >= {min_mean_token_len}
+        AND mean_token_len <= {max_mean_token_len}
+        AND punct_ratio <= {max_punct_ratio}
+        AND stopword_ratio >= {min_stopword_ratio}) AS keep
+FROM stats
+"""
+
+
+def docs_sample_sql(rate: float = 0.25, seed: int = 42) -> str:
+    """DuckDB twin of docs.sample_documents — same md5-60 threshold on
+    the same salt string, so the selected set is identical by
+    construction."""
+    threshold = int(rate * float(1 << 60))
+    inner = f"concat('samp:{seed}:', CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE {_md5_60_duck(inner)} < {threshold}
+"""
+
+
 def ngram_jaccard_sql(k: int = 5, min_jaccard: float = 0.5) -> str:
     return f"""
 WITH {_shingles_cte(k)},

@@ -535,3 +535,54 @@ def test_shingle_stream_tokenize_once_parity(spark):
     )
     new = docmod._shingle_stream(docs, k)
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_quality_filter_thresholds(spark):
+    """C4-style gate: each threshold independently rejects its crafted
+    violator; a clean doc passes; an empty doc yields NULL keep (no
+    stats) rather than a silent True."""
+    from linkgraph.docs import quality_filter
+
+    good = " ".join(["alpha", "beta", "gamma", "the", "delta"] * 4)  # 20 toks
+    rows = [
+        (0, good, "en", "s", 0),
+        (1, "too short", "en", "s", 0),                     # < min_tokens
+        (2, " ".join(["x"] * 30), "en", "s", 0),            # mean len 1 < 2
+        (3, " ".join(["!!!???!!!"] * 20), "en", "s", 0),    # punct-heavy
+        (4, "", "en", "s", 0),  # empty → split yields [""], 1 token → short
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["doc_id"]: r["keep"] for r in quality_filter(df).collect()}
+    assert got[0] is True
+    assert got[1] is False and got[2] is False and got[3] is False
+    assert got[4] is False
+    # semi-join composition keeps exactly the good doc
+    kept = df.join(
+        quality_filter(df).filter("keep"), "doc_id", "left_semi"
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+
+
+def test_sample_documents_deterministic_and_partition_invariant(spark):
+    """The hash sample must (a) be identical across repartitionings —
+    df.sample is not — (b) hit ~rate, (c) give disjoint-seed samples
+    that are independent, (d) nest: a larger rate's set contains the
+    smaller's (threshold monotonicity)."""
+    from linkgraph.docs import sample_documents
+
+    n = 2000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text", "'en' AS lang",
+        "'s' AS source", "CAST(0 AS LONG) AS n_chars"
+    )
+    s1 = {r["doc_id"] for r in sample_documents(df, 0.3).collect()}
+    s2 = {r["doc_id"] for r in sample_documents(df.repartition(17), 0.3).collect()}
+    assert s1 == s2  # partition-layout invariant
+    assert 0.25 * n < len(s1) < 0.35 * n
+    smaller = {r["doc_id"] for r in sample_documents(df, 0.1).collect()}
+    assert smaller <= s1  # nested by threshold
+    other = {r["doc_id"] for r in sample_documents(df, 0.3, seed=7).collect()}
+    overlap = len(s1 & other) / n
+    assert 0.05 < overlap < 0.14  # ~rate² for independent samples

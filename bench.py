@@ -200,6 +200,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Size shuffle partitions to the DATA, per SCALING.md: the gate
+    # graph's per-vertex state is 2048 rows — 32 shuffle partitions of 64
+    # rows each is pure scheduler thrash (measured: pagerank_conv 22-27 s
+    # at P=32 vs 14.5 s at P=8 on the same host). The big sections below
+    # restore the core-proportional count before building their tables.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     t0 = time.monotonic()
     g = link_graph(spark, sf_dir)
     n_edges = g.edges.count()  # forces build + persist
@@ -250,6 +256,8 @@ def main() -> None:
     # ---------------- big graph: every kernel at plan-dominant scale
     big_stats: dict[str, float] = {}
     if not skip_big:
+        # big sections: back to core-proportional partitioning
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 16)))
         tb = time.monotonic()
         bg = big_graph(spark, num_partitions=max(cpus, 16))
         bg.num_edges()  # build + persist

@@ -1,0 +1,83 @@
+"""k-core decomposition — iterative peeling to the degeneracy fixpoint.
+
+Not in the reference's kernel set (README.md:6 lists BFS/PR/SSSP/SpMV/WCC);
+provided as a link-graph analytics extension in the same DataFrame-fixpoint
+style as operators/wcc.py: the k-core of an undirected simple graph is the
+maximal subgraph where every vertex has degree ≥ k, computed by repeatedly
+deleting vertices of degree < k (Matula & Beck 1983).
+
+Plan shape per round: degree aggregate over the alive edge set (map-side
+combined), survivor filter, two semi-joins pruning edges whose either
+endpoint died, checkpoint. State is the shrinking edge set — O(E') per
+round, monotonically non-increasing; convergence = edge count unchanged
+(an exact integer, no fingerprint needed). Round count is bounded by the
+peeling depth: O(1) on cores with sharp boundaries, O(V) worst case on a
+bare path (each round exposes one new endpoint) — the same worst case
+every distributed peeling has; ``max_iterations`` guards it loudly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+
+def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def k_core(
+    graph: Graph,
+    k: int = 3,
+    max_iterations: int = 200,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Vertices of the k-core of the UNDIRECTED SIMPLE view of ``graph``
+    (multi-edges and self-loops ignored, per the standard definition):
+    DataFrame(id: long, core_deg: long) — the vertex's degree WITHIN the
+    k-core (≥ k by construction). Empty result when no k-core exists.
+    Deterministic: the k-core is unique (it is the union of all subgraphs
+    with min-degree ≥ k), so peel order cannot matter.
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    checkpoint = checkpointer or _default_checkpointer
+    canon = graph.canonical_undirected_edges()  # (a, b), a < b, deduped
+    sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    alive = checkpoint(sym, 0)
+    n_alive = alive.count()
+
+    for it in range(1, max_iterations + 1):
+        if n_alive == 0:
+            break
+        deg = alive.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("id"))
+        nxt = (
+            alive.join(keep, alive["src"] == keep["id"], "left_semi")
+            .join(keep, F.col("dst") == keep["id"], "left_semi")
+        )
+        nxt = checkpoint(nxt, it)
+        n_next = nxt.count()
+        if n_next == n_alive:
+            break
+        alive, n_alive = nxt, n_next
+    else:
+        raise RuntimeError(
+            f"k_core(k={k}): peel did not converge in {max_iterations} "
+            f"rounds — a long-chain peeling front; raise max_iterations"
+        )
+
+    if n_alive == 0:
+        return alive.select(
+            F.col("src").alias("id"), F.lit(0).cast("long").alias("core_deg")
+        ).limit(0)
+    return (
+        alive.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("core_deg"))
+    )

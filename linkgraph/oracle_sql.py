@@ -512,6 +512,45 @@ WHERE sim >= {min_sim}
 """
 
 
+def kcore_sql(k: int = 5, rounds: int = 8) -> str:
+    """DuckDB twin of operators.kcore.k_core: ``rounds`` unrolled peel
+    rounds (degree filter + both-endpoint edge prune). Rounds past the
+    fixpoint are no-ops, so any ``rounds`` ≥ the true peeling depth is
+    exact — the gate graphs converge in ≤ 3 rounds (measured at sf0.001
+    and sf0.01); 8 leaves margin, and the ENGINE side runs to an actual
+    fixpoint and raises if it fails to converge, so a hypothetical
+    deeper-peeling gate graph would fail loudly, not silently."""
+    parts = [
+        """canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+e0 AS (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL
+    SELECT b AS src, a AS dst FROM canon
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        # AS MATERIALIZED: each round references the previous one three
+        # times (degree filter + two endpoint joins) — inlining would
+        # re-evaluate the chain 3^rounds times
+        parts.append(
+            f"""k{r} AS MATERIALIZED (SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {k}),
+e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{r - 1} e
+    JOIN k{r} x ON e.src = x.src
+    JOIN k{r} y ON e.dst = y.src
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT src AS id, COUNT(*) AS core_deg FROM e{rounds} GROUP BY src
+"""
+
+
 def knn_join_sql(
     k: int = 5,
     num_bits: int = 4,

@@ -51,3 +51,53 @@ def test_wcc_large_small_star_matches(spark, name):
     want = wcc_oracle(edges, n)
     assert np.array_equal(got, want), name
     g.unpersist()
+
+
+# -------------------------------------------------------------- k-core
+def test_kcore_known_graph(spark):
+    """K4 plus a pendant path: the 3-core is exactly the K4 (each with
+    core_deg 3); the 2-core adds the triangle; pendant vertices never
+    survive k>=2."""
+    from linkgraph.operators import k_core
+
+    from tests.conftest import make_graph
+    import numpy as np
+
+    # K4 on 0-3; triangle on 4-6; path 7-8-9 hanging off vertex 0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(4, 5), (5, 6), (4, 6)]
+    edges += [(0, 7), (7, 8), (8, 9)]
+    g = make_graph(spark, np.array(edges, dtype=np.int64), 10)
+
+    core3 = {(r["id"], r["core_deg"]) for r in k_core(g, k=3).collect()}
+    assert core3 == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+    core2 = {r["id"] for r in k_core(g, k=2).collect()}
+    assert core2 == {0, 1, 2, 3, 4, 5, 6}
+
+    # k above the max degree → empty, with the right schema
+    empty = k_core(g, k=10)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "core_deg"]
+    g.unpersist()
+
+
+def test_kcore_long_chain_peels_to_fixpoint(spark):
+    """A path graph has NO 2-core (peeling eats it one endpoint pair per
+    round — the worst-case round count); the loop must reach the empty
+    fixpoint, not stop early."""
+    from linkgraph.operators import k_core
+
+    from tests.conftest import make_graph
+    import numpy as np
+
+    n = 24
+    path = np.array([[i, i + 1] for i in range(n - 1)], dtype=np.int64)
+    g = make_graph(spark, path, n)
+    assert k_core(g, k=2, max_iterations=50).count() == 0
+    # a cycle IS its own 2-core (every vertex degree exactly 2)
+    cyc = np.array([[i, (i + 1) % n] for i in range(n)], dtype=np.int64)
+    g2 = make_graph(spark, cyc, n)
+    got = {(r["id"], r["core_deg"]) for r in k_core(g2, k=2).collect()}
+    assert got == {(i, 2) for i in range(n)}
+    g.unpersist(); g2.unpersist()

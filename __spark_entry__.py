@@ -246,6 +246,14 @@ def _q_kcore5(spark, sf_dir):
     return k_core(_graph(spark, sf_dir), k=5)
 
 
+def _q_coreness(spark, sf_dir):
+    """Full k-core decomposition via iterated neighborhood H-index
+    (round 3) — every vertex's exact core number."""
+    from linkgraph.operators import coreness
+
+    return coreness(_graph(spark, sf_dir))
+
+
 def _q_personalized_pagerank(spark, sf_dir):
     """Source-restricted teleport PageRank (seed repos 0-3), 10 rounds —
     the reference recurrence with a base vector instead of (1-d)/N."""
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dups": _q_cosine_dups,
         "knn_join": _q_knn_join,
         "kcore5": _q_kcore5,
+        "coreness": _q_coreness,
         "fingerprints": _q_fingerprints,
         "fp_overlap": _q_fp_overlap,
         "ivf_knn": _q_ivf_knn,
@@ -374,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_join": osql.knn_join_sql(k=5, num_bits=4, dim=64, num_bands=2),
         "kcore5": osql.kcore_sql(k=5, rounds=8),
+        "coreness": osql.coreness_sql(rounds=30),
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
         "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),

@@ -7,7 +7,7 @@ merged back into the vertex-state DataFrame.
 """
 
 from linkgraph.operators.bfs import bfs
-from linkgraph.operators.kcore import k_core
+from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.spmv import spmv
@@ -19,6 +19,7 @@ from linkgraph.operators.wcc import wcc
 __all__ = [
     "bfs",
     "k_core",
+    "coreness",
     "label_propagation",
     "pagerank",
     "spmv",

@@ -551,6 +551,47 @@ SELECT src AS id, COUNT(*) AS core_deg FROM e{rounds} GROUP BY src
 """
 
 
+def coreness_sql(rounds: int = 30) -> str:
+    """DuckDB twin of operators.kcore.coreness: ``rounds`` unrolled
+    H-index iterations from the degree vector (each a neighbor join +
+    per-vertex ROW_NUMBER window + MAX(LEAST(rank, value))). The
+    iteration is monotone non-increasing and stationary at the coreness
+    fixpoint, so rounds past convergence are no-ops — measured
+    convergence: 8 rounds (sf0.001), 21 (sf0.01), 12 (sf0.1); 30 leaves
+    margin, and the engine raises (rather than silently disagreeing) if
+    a graph ever needs more than its own max_iterations. All CTEs
+    MATERIALIZED (multi-referenced chain — inlining is exponential)."""
+    parts = [
+        """canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+e0 AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL
+    SELECT b AS src, a AS dst FROM canon
+),
+c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS c FROM e0 GROUP BY src)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+    SELECT src AS id, MAX(LEAST(rn, cval)) AS c FROM (
+        SELECT e.src, c.c AS cval,
+               ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY c.c DESC) AS rn
+        FROM e0 e JOIN c{r - 1} c ON e.dst = c.id
+    ) GROUP BY src
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT v.id, CAST(COALESCE(c.c, 0) AS BIGINT) AS coreness
+FROM vertices v LEFT JOIN c{rounds} c ON v.id = c.id
+"""
+
+
 def knn_join_sql(
     k: int = 5,
     num_bits: int = 4,

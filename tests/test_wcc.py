@@ -101,3 +101,27 @@ def test_kcore_long_chain_peels_to_fixpoint(spark):
     got = {(r["id"], r["core_deg"]) for r in k_core(g2, k=2).collect()}
     assert got == {(i, 2) for i in range(n)}
     g.unpersist(); g2.unpersist()
+
+
+def test_coreness_matches_kcore_thresholds(spark):
+    """coreness(v) >= k  ⇔  v in k_core(k), for every k up to max — the
+    defining relationship between the decomposition and fixed-k cores."""
+    from linkgraph.operators import coreness, k_core
+
+    from tests.conftest import make_graph
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n = 120
+    edges = np.unique(rng.randint(0, n, size=(900, 2)), axis=0)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = make_graph(spark, edges, n)
+    cn = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+    assert len(cn) == n and min(cn.values()) >= 0
+    kmax = max(cn.values())
+    assert kmax >= 3  # fixture dense enough to be non-trivial
+    for k in (1, 2, kmax, kmax + 1):
+        want = {v for v, c in cn.items() if c >= k}
+        got = {r["id"] for r in k_core(g, k=k).collect()}
+        assert got == want, k
+    g.unpersist()

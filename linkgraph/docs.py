@@ -86,7 +86,13 @@ def exact_dedup(documents: DataFrame, by_hash: bool = False) -> DataFrame:
 # a letter run (with optional leading space), a digit run, a punctuation
 # run, or residual whitespace. The "BPE-ish" count the brief asks for —
 # a far better proxy for LLM token budgets than whitespace words.
-_BPE_REGEX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\\\s]+"
+# The whitespace class is EXPLICIT ([ \t\n\x0B\f\r]) rather than \s:
+# Java's \s includes vertical tab \x0B while RE2's does not, so the two
+# engines diverged on any text containing a VT (ADVICE r03); the twin
+# class lives in oracle_sql.docs_token_stats_sql.
+_BPE_REGEX = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"
+)
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
@@ -485,7 +491,10 @@ def _components_over_pairs(
         if store is not None:
             merged = store.checkpointer(merged, iter_base + _round)
         else:
-            merged = merged.localCheckpoint(eager=True)
+            # LAZY: the changed-count below is the round's single job —
+            # it materializes the checkpoint AND returns the convergence
+            # statistic (same shape as the r03 BFS fix; VERDICT r03 #3)
+            merged = merged.localCheckpoint(eager=False)
         changed = merged.filter(F.col("cluster_id") < F.col("old")).count()
         labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
@@ -570,7 +579,18 @@ def dedup_clusters(
             .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = shingle_hashes(documents, k=k).join(cand_docs, "doc_id", "left_semi")
+        # semi-join the DOCUMENTS down to candidates BEFORE the shingle
+        # explode: Catalyst does not push a semi-join below a Generate, so
+        # the former explode-then-semi-join shape re-tokenized and re-md5'd
+        # the ENTIRE corpus just to verify the (much smaller) candidate
+        # set — this makes the verify stage linear in candidate DOCS, not
+        # corpus size (VERDICT r03 'Next round' #7). Identical output:
+        # shingle_hashes(docs ⋉ cand) ≡ shingle_hashes(docs) ⋉ cand.
+        # (no broadcast hint: the candidate-doc set is O(duplicates) and
+        # can be huge at corpus scale — AQE picks broadcast when it fits)
+        sh = shingle_hashes(
+            documents.join(cand_docs, "doc_id", "left_semi"), k=k
+        )
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "x")
         b = sh.select(F.col("doc_id").alias("doc_b"), "x")

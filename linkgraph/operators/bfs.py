@@ -97,9 +97,19 @@ def bfs(
     if resumed is not None:
         start = min(resumed, max_iterations)  # honor the bound across resumes
         visited = store.load_upto(start)
+        if "out_deg" not in visited.columns:  # pre-round-3 store layout
+            # normalize the WHOLE loaded set, not just the frontier: the
+            # per-level visited.unionByName(nxt) below requires matching
+            # columns, and nxt always carries out_deg (ADVICE r03). Keep
+            # parent if the old store had it; synthesize it otherwise.
+            cols = ["id", "dist"] + (
+                ["parent"] if "parent" in visited.columns else []
+            )
+            visited = with_out_deg(visited.select(*cols))
+            if "parent" not in visited.columns:
+                visited = visited.withColumn("parent", F.col("id"))
+            visited = visited.select("id", "dist", "parent", "out_deg")
         frontier = visited.filter(F.col("dist") == start)
-        if "out_deg" not in frontier.columns:  # pre-round-3 store layout
-            frontier = with_out_deg(frontier.select("id", "dist"))
         frontier_size, frontier_degree = delta_stats(frontier)
         visited_rows = visited.count()
     else:

@@ -45,12 +45,19 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
+    # LAZY plan truncation on the default path (same shape as the r03
+    # BFS/SSSP fix — VERDICT r03 'What's wrong' #3): the per-round
+    # count() below is the SINGLE action that materializes the round's
+    # lazily-marked checkpoint AND tests convergence — one Spark job per
+    # peel round, not a materialize job plus a count job. An explicit
+    # checkpointer (durable store) keeps its own commit job.
+    lazy = checkpointer is None
     checkpoint = checkpointer or _default_checkpointer
     canon = graph.canonical_undirected_edges()  # (a, b), a < b, deduped
     sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    alive = checkpoint(sym, 0)
+    alive = sym.localCheckpoint(eager=False) if lazy else checkpoint(sym, 0)
     n_alive = alive.count()
 
     for it in range(1, max_iterations + 1):
@@ -62,7 +69,7 @@ def k_core(
             alive.join(keep, alive["src"] == keep["id"], "left_semi")
             .join(keep, F.col("dst") == keep["id"], "left_semi")
         )
-        nxt = checkpoint(nxt, it)
+        nxt = nxt.localCheckpoint(eager=False) if lazy else checkpoint(nxt, it)
         n_next = nxt.count()
         if n_next == n_alive:
             break
@@ -112,6 +119,10 @@ def coreness(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
+    # lazy default-path checkpoints: the changed-count below is the one
+    # action per H-round (materializes the checkpoint AND returns the
+    # convergence statistic) — see k_core
+    lazy = checkpointer is None
     checkpoint = checkpointer or _default_checkpointer
     canon = graph.canonical_undirected_edges()
     # partitioned by the JOIN key once and PERSISTED (not checkpointed:
@@ -129,7 +140,7 @@ def coreness(
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("c"))
     )
-    c = checkpoint(c, 0)
+    c = c.localCheckpoint(eager=False) if lazy else checkpoint(c, 0)
 
     w = (
         Window.partitionBy("src")
@@ -151,7 +162,7 @@ def coreness(
         merged = c.join(h, "id").select(
             "id", F.col("c").alias("old"), F.col("h").alias("c")
         )
-        merged = checkpoint(merged, it)
+        merged = merged.localCheckpoint(eager=False) if lazy else checkpoint(merged, it)
         changed = merged.filter(F.col("c") != F.col("old")).count()
         c = merged.select("id", "c")
         if changed == 0:

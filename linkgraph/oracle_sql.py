@@ -332,9 +332,11 @@ FROM documents GROUP BY text
 def docs_token_stats_sql() -> str:
     stop_list = "'the','of','and','a','to','in','is','it','that','for'"
     # DuckDB (RE2) twins of docs._BPE_REGEX / the ASCII-punct class; both
-    # engines' regex dialects agree on these ASCII-anchored patterns
+    # engines' regex dialects agree on these ASCII-anchored patterns.
+    # The whitespace class is explicit (not \s): Java's \s matches \x0B,
+    # RE2's does not — docs._BPE_REGEX carries the identical class.
     # the leading apostrophe (contraction tails) is doubled for the SQL literal
-    bpe = "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    bpe = "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
     punct = "[^!-/:-@\\[-`{-~]"
     return f"""
 WITH toks AS (

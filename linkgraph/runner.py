@@ -142,15 +142,34 @@ class CheckpointStore:
     def load_upto(self, iteration: int) -> DataFrame:
         """Union of all committed iterations ≤ ``iteration`` — the resume
         path for DELTA-committed kernels (BFS commits each level's newly
-        discovered rows, not the whole visited set; see bfs.py). One
-        multi-path parquet scan, not an N-way union plan, so a
-        diameter-deep run resumes without a giant logical plan."""
+        discovered rows, not the whole visited set; see bfs.py).
+
+        parquet: ONE multi-path scan (not an N-way union plan, so a
+        diameter-deep run resumes without a giant logical plan), with
+        ``mergeSchema`` so a store whose early iterations predate a column
+        (e.g. pre-round-3 BFS deltas without out_deg) still reads as one
+        consistent schema — missing columns come back null and the caller
+        normalizes them. Other formats (iceberg): path-list loads are not
+        supported by the source, so each committed iteration is loaded
+        separately and unioned by name (ADVICE r03)."""
         its = [k for k in self.committed_iterations() if k <= iteration]
         if not its:
             raise ValueError(f"no committed iterations ≤ {iteration}")
-        return self.spark.read.format(self.fmt).load(
-            [self._iter_dir(k) for k in its]
-        )
+        if self.fmt == "parquet":
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .format(self.fmt)
+                .load([self._iter_dir(k) for k in its])
+            )
+        out = None
+        for k in its:
+            df = self.load(k)
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out
 
     def metrics(self) -> DataFrame:
         """This run's lineage rows (filtered: the _metrics dir is shared

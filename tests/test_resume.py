@@ -248,3 +248,33 @@ def test_dedup_clusters_resume_skips_stages(spark, tmp_path):
     )
     assert again == first
     assert store.latest_iteration() == before
+
+
+def test_bfs_resume_old_store_layout(spark, tmp_path):
+    """A store written by the pre-round-3 BFS (deltas WITHOUT out_deg)
+    must still resume: the loaded visited set is normalized once, and a
+    store that then accumulates NEW-layout levels on top (mixed schemas
+    in one run dir) reads back via mergeSchema (ADVICE r03, medium)."""
+    from linkgraph.operators import bfs
+
+    edges, n = zipf_edges(n=300, m=900)
+    g = make_graph(spark, edges, n)
+    root = int(edges[0, 0])
+    want = {(r["id"], r["dist"]) for r in bfs(g, root).collect()}
+
+    store = CheckpointStore(spark, str(tmp_path / "old"), "bfs", "r1")
+    bfs(g, root, max_iterations=2, store=store)  # "crash" after level 2
+    # rewrite every committed level in the PRE-ROUND-3 layout (no out_deg)
+    for it in store.committed_iterations():
+        path = store._iter_dir(it)
+        rows = spark.read.parquet(path).select("id", "dist", "parent").collect()
+        spark.createDataFrame(rows, "id long, dist long, parent long").write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    # first resume: pure old layout; crash again two levels later so the
+    # run dir now MIXES old- and new-layout level schemas
+    bfs(g, root, max_iterations=4, store=store)
+    got = {(r["id"], r["dist"]) for r in bfs(g, root, store=store).collect()}
+    assert got == want
+    g.unpersist()

@@ -277,6 +277,14 @@ def _q_assortativity(spark, sf_dir):
     return degree_assortativity(_graph(spark, sf_dir))
 
 
+def _q_docs_despan(spark, sf_dir):
+    """Exact-substring dedup (round 4, Lee et al. ExactSubstr): remove
+    every ≥30-char span whose every 30-gram repeats anywhere in the
+    corpus, keeping the first occurrence — returns the REWRITTEN text
+    plus the per-doc removed-char audit count."""
+    return docs.remove_repeated_spans(_docs(spark, sf_dir), min_len=30, keep="first")
+
+
 def _q_fingerprints(spark, sf_dir):
     """Winnowed rolling-hash document fingerprints (MOSS scheme)."""
     return docs.fingerprints(_docs(spark, sf_dir), k=8, window=4)
@@ -336,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "kcore5": _q_kcore5,
         "coreness": _q_coreness,
+        "docs_despan": _q_docs_despan,
         "fingerprints": _q_fingerprints,
         "fp_overlap": _q_fp_overlap,
         "ivf_knn": _q_ivf_knn,
@@ -384,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": osql.knn_join_sql(k=5, num_bits=4, dim=64, num_bands=2),
         "kcore5": osql.kcore_sql(k=5, rounds=8),
         "coreness": osql.coreness_sql(rounds=30),
+        "docs_despan": osql.despan_sql(min_len=30, keep="first"),
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
         "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),

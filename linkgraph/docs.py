@@ -789,6 +789,140 @@ def fingerprints(
     )
 
 
+def repeated_spans(
+    documents: DataFrame,
+    min_len: int = 30,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, s, e) — maximal character spans whose every ``min_len``-gram
+    occurs ≥ 2 times across the corpus: the spans an exact-substring dedup
+    stage removes (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — the ExactSubstr stage production pretraining
+    pipelines run between near-dup and quality filtering; VERDICT r03
+    'What's missing' #1). Any substring of length ≥ min_len repeated
+    verbatim anywhere (another doc OR the same doc) has every one of its
+    min_len-windows duplicated, so it is fully covered by these spans; the
+    spans over-reach a repeated region by at most min_len − 1 chars on
+    each flank (k-gram smearing) — the standard approximation's trade.
+
+    ``keep='first'`` exempts, per k-gram, the lexicographically smallest
+    (doc_id, pos) occurrence — one canonical copy of every repeated
+    passage survives (for identical passages all offsets elect the same
+    minimal doc, so the survivor is contiguous); ``keep='none'`` marks
+    every occurrence. Occurrences are ordered by the combined key
+    doc_id·2³² + pos (exact while pos < 2³², i.e. docs under 4 GiB of
+    text — far past any real document).
+
+    Plan shape, and why it scales: one char-position explode (O(total
+    chars) rows — the same cost class as :func:`fingerprints`), a
+    map-side-combinable count-by-hash, then an inner join of positions
+    against the DUPLICATED hashes only (c ≥ 2 — typically a small
+    fraction, broadcast-able; never a pair self-join, so a boilerplate
+    k-gram shared by 10⁶ docs costs 10⁶ linear rows, not 10¹² pairs),
+    and a per-doc gaps-and-islands window (PARTITION BY doc_id — no
+    cross-doc shuffle). Every value is md5-60 (engine-neutral), so the
+    whole operator has an exact DuckDB oracle (oracle_sql.despan_sql).
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be ≥ 1, got {min_len}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    k = min_len
+    pos = documents.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1))
+        ).alias("pos"),
+        F.col(text_col).alias("_t"),
+    )
+    hashed = pos.select(
+        "doc_id", "pos", F.expr(_md5_60_sql(f"substr(_t, pos, {k})")).alias("h")
+    )
+    occ_key = F.col("doc_id") * F.lit(1 << 32) + F.col("pos")
+    stats = (
+        hashed.groupBy("h")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.col("doc_id") * F.lit(1 << 32) + F.col("pos")).alias("keep_key"),
+        )
+        .filter(F.col("c") >= 2)
+    )
+    dup = hashed.join(stats, "h").select("doc_id", "pos", "keep_key")
+    if keep == "first":
+        dup = dup.filter(occ_key != F.col("keep_key"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.select("doc_id", "pos")
+        .withColumn("prev", F.lag("pos").over(w))
+        # two k-grams at pos p, q (p < q) cover overlapping-or-adjacent
+        # char ranges iff q − p ≤ k — a larger gap starts a new island
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+        .select("doc_id", F.col("s").cast("long"), F.col("e").cast("long"))
+    )
+
+
+def remove_repeated_spans(
+    documents: DataFrame,
+    min_len: int = 30,
+    keep: str = "first",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text, n_removed) — the exact-substring dedup REWRITE:
+    every :func:`repeated_spans` span is cut out of its document's text
+    (segments between spans are concatenated; a fully-covered doc becomes
+    the empty string, which a downstream length filter drops).
+    ``n_removed`` = characters removed, the audit column.
+
+    The rewrite is one per-doc ``aggregate`` over the doc's sorted span
+    list (collect_list + array_sort — spans per doc are few and bounded
+    by len/min_len, never O(corpus)); no Python anywhere. Docs with no
+    repeated span pass through untouched via the left join."""
+    spans = repeated_spans(
+        documents, min_len=min_len, keep=keep, id_col=id_col, text_col=text_col
+    )
+    agg_spans = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    joined = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).join(agg_spans, "doc_id", "left")
+    # fold the sorted, non-overlapping spans left-to-right: state =
+    # (last_e, acc); each span appends the kept segment before it; the
+    # finisher appends the tail after the last span
+    rewrite = F.expr(
+        "aggregate(_spans, "
+        "named_struct('last_e', CAST(0 AS BIGINT), 'acc', ''), "
+        "(st, sp) -> named_struct("
+        "  'last_e', CAST(sp.e AS BIGINT), "
+        "  'acc', concat(st.acc, substr(_t, CAST(st.last_e + 1 AS INT), "
+        "                CAST(sp.s - st.last_e - 1 AS INT)))), "
+        "st -> concat(st.acc, substr(_t, CAST(st.last_e + 1 AS INT))))"
+    )
+    clean = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(rewrite)
+    return joined.select(
+        "doc_id",
+        clean.alias("text"),
+        (F.length("_t") - F.length(clean)).cast("long").alias("n_removed"),
+    )
+
+
 def fingerprint_overlap_pairs(
     documents: DataFrame,
     k: int = 8,

@@ -745,6 +745,72 @@ WHERE pos <= n_kgrams - {window - 1} OR pos = 1
 """
 
 
+def despan_sql(min_len: int = 30, keep: str = "first") -> str:
+    """DuckDB twin of docs.remove_repeated_spans (exact-substring dedup,
+    Lee et al. 2022): duplicated min_len-gram positions via the shared
+    md5-60 fragment, gaps-and-islands span merge, then a character-level
+    rebuild (string_agg of uncovered chars ORDER BY position) — the
+    slow-but-unarguable formulation of the same rewrite the engine does
+    with one aggregate() fold per doc."""
+    k = min_len
+    keep_filter = (
+        f"WHERE p.doc_id * 4294967296 + p.pos <> s.keep_key"
+        if keep == "first"
+        else ""
+    )
+    return f"""
+WITH pos AS (
+    SELECT doc_id, i AS pos, {_md5_60_duck(f"substr(text, i, {k})")} AS h
+    FROM documents, UNNEST(generate_series(1, length(text) - {k - 1})) AS g(i)
+    WHERE length(text) >= {k}
+),
+stats AS (
+    SELECT h, MIN(doc_id * 4294967296 + pos) AS keep_key
+    FROM pos GROUP BY h HAVING COUNT(*) >= 2
+),
+dup AS (
+    SELECT p.doc_id, p.pos
+    FROM pos p JOIN stats s USING (h)
+    {keep_filter}
+),
+lagged AS (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dup
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM lagged
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS sp_s, MAX(pos) + {k - 1} AS sp_e
+    FROM isl GROUP BY doc_id, island
+),
+chars AS (
+    SELECT doc_id, i, substr(text, i, 1) AS ch
+    FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+),
+kept AS (
+    SELECT c.doc_id, c.i, c.ch
+    FROM chars c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = c.doc_id AND c.i BETWEEN s.sp_s AND s.sp_e
+    )
+),
+clean AS (
+    SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(cl.text, '') AS text,
+       CAST(length(d.text) - length(COALESCE(cl.text, '')) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN clean cl ON cl.doc_id = d.doc_id
+"""
+
+
 def fp_overlap_sql(
     k: int = 8, window: int = 4, min_shared: int = 2
 ) -> str:

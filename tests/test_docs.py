@@ -638,3 +638,95 @@ def test_ivf_lloyd_matmul_threaded(spark, emb_df):
         .toString()
     )
     assert "zip_with" not in plan and "aggregate(" not in plan
+
+
+def _despan_fixture():
+    import random
+
+    rng = random.Random(7)
+
+    def filler(n):
+        return " ".join(
+            "w%04d" % rng.randrange(10_000) for _ in range(n)
+        )
+
+    passage = "the quick brown fox jumps over the lazy dog again and again tonight"
+    assert len(passage) >= 60
+    texts = {
+        0: filler(30),                                   # unique — untouched
+        2: filler(10) + " " + passage + " " + filler(10),  # first occurrence
+        5: filler(12) + " " + passage + " " + filler(8),   # dup occurrence
+        9: passage + " " + filler(15),                     # dup at doc start
+        11: "A" + passage + "B" + passage + "C",           # self-repeat in one doc
+        12: filler(25),                                  # unique — untouched
+    }
+    return passage, texts
+
+
+def test_remove_repeated_spans_planted_passages(spark):
+    """Recall on planted repeated passages (VERDICT r03 'Next round' #2):
+    every non-canonical occurrence of a ≥min_len repeated passage is
+    removed, the canonical (first) occurrence survives, unique text is
+    untouched, and keep='none' removes every occurrence."""
+    from linkgraph.docs import remove_repeated_spans
+
+    passage, texts = _despan_fixture()
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_repeated_spans(df, min_len=30, keep="first").collect()
+    }
+    # unique docs pass through byte-identical
+    for d in (0, 12):
+        assert out[d] == (texts[d], 0)
+    # the first occurrence (doc 2: smallest doc_id) keeps the passage
+    assert passage in out[2][0]
+    # later occurrences lose it — no 30-char window of it survives
+    for d in (5, 9):
+        txt, removed = out[d]
+        assert passage not in txt
+        assert removed >= len(passage) - 29  # island = exactly the dup region
+        assert all(passage[i : i + 30] not in txt for i in range(len(passage) - 29))
+    # self-repeat: doc 11 is NOT the minimal occurrence (doc 2 is), so
+    # both of its copies are removed under keep='first'
+    assert passage not in out[11][0]
+
+    none = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(df, min_len=30, keep="none").collect()
+    }
+    for d in (2, 5, 9, 11):
+        assert passage not in none[d]
+    for d in (0, 12):
+        assert none[d] == texts[d]
+
+
+def test_remove_repeated_spans_duckdb_parity(spark):
+    """The full rewrite (spans AND rebuilt text) matches despan_sql on the
+    planted fixture — both keep modes."""
+    import duckdb
+    import pandas as pd
+
+    from linkgraph import oracle_sql as osql
+    from linkgraph.docs import remove_repeated_spans
+
+    _, texts = _despan_fixture()
+    items = sorted(texts.items())
+    df = spark.createDataFrame(items, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [d for d, _ in items], "text": [t for _, t in items]}),
+    )
+    for keep in ("first", "none"):
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in remove_repeated_spans(df, min_len=30, keep=keep).collect()
+        }
+        want = {
+            int(r[0]): (r[1], int(r[2]))
+            for r in con.execute(osql.despan_sql(min_len=30, keep=keep)).fetchall()
+        }
+        assert got == want

@@ -238,6 +238,20 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_lsh_knn_batch(spark, sf_dir):
+    """Batch ANN query serving (round 4): top-5 neighbors of queries 0-4
+    in ONE job — the per-query LSH loop replaced by a broadcast query
+    table equi-joined on (band, bucket), window top-k per query."""
+    emb = _emb(spark, sf_dir)
+    qs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    return similarity.lsh_topk_batch(
+        emb, qs, k=5, num_bits=4, num_bands=2, score="sql"
+    )
+
+
 def _q_kcore5(spark, sf_dir):
     """5-core of the undirected simple gate graph (round 3): peel to
     fixpoint; per-vertex within-core degree is the value check."""
@@ -342,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": _q_lsh_knn,
         "cosine_dups": _q_cosine_dups,
         "knn_join": _q_knn_join,
+        "lsh_knn_batch": _q_lsh_knn_batch,
         "kcore5": _q_kcore5,
         "coreness": _q_coreness,
         "docs_despan": _q_docs_despan,
@@ -391,6 +406,9 @@ def oracle_sql() -> dict[str, str]:
             min_sim=0.3, num_bits=4, dim=64, num_bands=2
         ),
         "knn_join": osql.knn_join_sql(k=5, num_bits=4, dim=64, num_bands=2),
+        "lsh_knn_batch": osql.lsh_knn_batch_sql(
+            qids=[0, 1, 2, 3, 4], k=5, num_bits=4, dim=64, num_bands=2
+        ),
         "kcore5": osql.kcore_sql(k=5, rounds=8),
         "coreness": osql.coreness_sql(rounds=30),
         "docs_despan": osql.despan_sql(min_len=30, keep="first"),

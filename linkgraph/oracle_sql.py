@@ -465,6 +465,51 @@ ORDER BY sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def lsh_knn_batch_sql(
+    qids: "list[int]",
+    k: int = 5,
+    num_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    num_bands: int = 1,
+) -> str:
+    """DuckDB twin of similarity.lsh_topk_batch (score='sql'): all Q
+    queries answered in one statement — per-band buckets from the same
+    inlined md5-seeded planes, OR-of-bands candidate join, each query's
+    own row excluded, ROW_NUMBER top-k per query."""
+    bcols = ", ".join(
+        f"{_bucket_expr_duck(num_bits, dim, seed, band, num_bands)} AS b{band}"
+        for band in range(num_bands)
+    )
+    any_band = " OR ".join(f"e.b{band} = q.b{band}" for band in range(num_bands))
+    qlist = ", ".join(str(int(q)) for q in qids)
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, {bcols}
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS qid,
+           {', '.join(f'b{band}' for band in range(num_bands))},
+           embedding::DOUBLE[] AS qv
+    FROM b WHERE vec_id IN ({qlist})
+),
+cand AS (
+    SELECT q.qid, e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+    FROM b e JOIN q ON ({any_band}) AND e.vec_id <> q.qid
+)
+SELECT qid, vec_id, sim, rank FROM (
+    SELECT qid, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+           ) AS BIGINT) AS rank
+    FROM cand
+)
+WHERE rank <= {k}
+"""
+
+
 def _bucket_expr_duck(
     num_bits: int, dim: int, seed: int, band: int = 0, num_bands: int = 1
 ) -> str:

@@ -690,6 +690,202 @@ def _score_against(idx: DataFrame, q: np.ndarray, score: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- batch query serving
+def _pairwise_cosine_udf():
+    """Arrow-batched PAIRWISE cosine: two array columns → rowwise cosine
+    via one einsum per batch — the scorer for batch serving, where every
+    row has its own query vector (the broadcast-one-query matvec of
+    :func:`_cosine_to_query_udf` doesn't apply). Rounded to 6 dp like the
+    SQL path."""
+
+    @pandas_udf("double")
+    def sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb) / (na * nb), 6))
+
+    return sim
+
+
+def _queries_rows(
+    queries: "dict[int, list[float] | np.ndarray]",
+) -> "list[tuple[int, np.ndarray]]":
+    return [
+        (int(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in queries.items()
+    ]
+
+
+def _batch_topk(
+    joined: DataFrame, k: int, score: str, exclude_self: bool
+) -> DataFrame:
+    """Shared tail of every batch-serving operator: candidate rows
+    (qid, vec_id, v, qv) → per-query top-k (qid, vec_id, sim, rank).
+    A vector colliding with a query in several bands/cells is scored
+    once; rank = row_number by (sim desc, vec_id asc), deterministic."""
+    from pyspark.sql import Window
+
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("qid"))
+    joined = joined.dropDuplicates(["qid", "vec_id"])
+    if score == "matmul":
+        scored = joined.select(
+            "qid",
+            "vec_id",
+            _pairwise_cosine_udf()(F.col("v"), F.col("qv")).alias("sim"),
+        )
+    elif score == "sql":
+        scored = joined.select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot("v", "qv") / F.nullif(_norm("v") * _norm("qv"), F.lit(0.0)), 6
+            ).alias("sim"),
+        )
+    else:
+        raise ValueError(f"unknown score {score!r} (want 'sql' or 'matmul')")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def lsh_topk_batch(
+    embeddings: DataFrame,
+    queries: "dict[int, list[float] | np.ndarray]",
+    k: int = 10,
+    num_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    num_bands: int = 1,
+    exclude_self: bool = True,
+    score: str = "sql",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN serving over the IN-FLIGHT bucketed table: per-query LSH
+    top-k for ALL Q queries in ONE dataflow — :func:`lsh_cosine_topk`
+    without the driver-side loop over queries (VERDICT r03 'What's
+    missing' #2; the loop was ~1 s/query of pure scheduler latency while
+    each pruned scan touched a few thousand rows). ``queries`` maps
+    qid → vector (driver-side, bounded — the retrieval-eval shape);
+    qids that are also vec_ids exclude their own row via
+    ``exclude_self``. Returns (qid, vec_id, sim, rank).
+
+    Plan: every query's per-band bucket is computed DRIVER-SIDE in numpy
+    (same md5 planes), the Q·bands-row query table is broadcast onto the
+    banded vectors (one equi-join on (band, bucket) — never a cross
+    join), candidates dedup per (qid, vec_id), one window top-k. One job
+    for all Q queries."""
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    rows = []
+    for qid, qv in _queries_rows(queries):
+        for band, qb in enumerate(
+            query_band_buckets(qv, num_bits, seed, num_bands)
+        ):
+            rows.append((qid, band, qb, [float(x) for x in qv]))
+    if not rows:
+        raise ValueError("queries must be non-empty")
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "qid long, band int, bucket long, qv array<double>"
+    )
+    banded = _banded_vectors(
+        embeddings, num_bits, dim, seed, num_bands, id_col, vec_col
+    )
+    joined = banded.join(F.broadcast(qdf), ["band", "bucket"]).select(
+        "qid", "vec_id", "v", "qv"
+    )
+    return _batch_topk(joined, k, score, exclude_self)
+
+
+def ann_index_topk_batch(
+    spark: SparkSession,
+    path: str,
+    queries: "dict[int, list[float] | np.ndarray]",
+    k: int = 10,
+    num_bits: int = 8,
+    seed: int = 42,
+    num_bands: int = 1,
+    exclude_self: bool = True,
+    index_df: DataFrame | None = None,
+    score: str = "matmul",
+) -> DataFrame:
+    """Batch ANN serving over a WRITTEN index (:func:`write_ann_index`):
+    one job answers all Q queries. The union of every query's (band,
+    bucket) pairs becomes ONE partition-pruning filter (the scan reads
+    only those buckets' files), then the broadcast query table equi-joins
+    candidates to their queries — the :func:`lsh_knn_join` shape applied
+    cross-table. ``index_df``: pass ``spark.read.parquet(path)`` once
+    and reuse across calls (directory listing dominates otherwise)."""
+    rows = []
+    for qid, qv in _queries_rows(queries):
+        for band, qb in enumerate(
+            query_band_buckets(qv, num_bits, seed, num_bands)
+        ):
+            rows.append((qid, band, qb, [float(x) for x in qv]))
+    if not rows:
+        raise ValueError("queries must be non-empty")
+    qdf = spark.createDataFrame(
+        rows, "qid long, band int, bucket long, qv array<double>"
+    )
+    cond = None
+    for band, qb in sorted({(b, bk) for _, b, bk, _ in rows}):
+        c = (F.col("band") == band) & (F.col("bucket") == qb)
+        cond = c if cond is None else (cond | c)
+    base = index_df if index_df is not None else spark.read.parquet(path)
+    joined = (
+        base.filter(cond)
+        .join(F.broadcast(qdf), ["band", "bucket"])
+        .select("qid", "vec_id", F.col("embedding").alias("v"), "qv")
+    )
+    return _batch_topk(joined, k, score, exclude_self)
+
+
+def ivf_index_topk_batch(
+    spark: SparkSession,
+    path: str,
+    cents: "list[np.ndarray]",
+    queries: "dict[int, list[float] | np.ndarray]",
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    index_df: DataFrame | None = None,
+    score: str = "matmul",
+) -> DataFrame:
+    """Batch serving over a WRITTEN IVF index (:func:`write_ivf_index`):
+    each query's ``nprobe`` probe cells are chosen driver-side from the
+    centroid list; the union of probed cids is ONE partition-pruning
+    filter and the broadcast (qid, cid, qv) table equi-joins candidates
+    to queries — all Q queries in one job."""
+    qrows = _queries_rows(queries)
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    cm = np.stack(cents)
+    cnorm = np.linalg.norm(cm, axis=1)
+    rows = []
+    for qid, q in qrows:
+        sims = (cm @ q) / (cnorm * np.linalg.norm(q) + 1e-300)
+        order = sorted(range(len(cents)), key=lambda i: (-round(sims[i], 6), i))
+        for cid in order[:nprobe]:
+            rows.append((qid, cid, [float(x) for x in q]))
+    qdf = spark.createDataFrame(rows, "qid long, cid int, qv array<double>")
+    probes = sorted({cid for _, cid, _ in rows})
+    base = index_df if index_df is not None else spark.read.parquet(path)
+    joined = (
+        base.filter(F.col("cid").isin(probes))
+        .join(F.broadcast(qdf), ["cid"])
+        .select("qid", "vec_id", F.col("embedding").alias("v"), "qv")
+    )
+    return _batch_topk(joined, k, score, exclude_self)
+
+
 # ------------------------------------------------------- persisted index
 def write_ann_index(
     embeddings: DataFrame,

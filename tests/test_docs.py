@@ -730,3 +730,84 @@ def test_remove_repeated_spans_duckdb_parity(spark):
             for r in con.execute(osql.despan_sql(min_len=30, keep=keep)).fetchall()
         }
         assert got == want
+
+
+def test_batch_serving_matches_per_query_loop(spark, emb_df, tmp_path):
+    """ann_index_topk_batch / ivf_index_topk_batch answer Q queries in
+    one job with EXACTLY the per-query loop's results (same buckets /
+    probes, same rounding, same tie-break), and the batch scan still
+    partition-prunes (VERDICT r03 'Next round' #3)."""
+    from linkgraph.similarity import (
+        ann_index_topk,
+        ann_index_topk_batch,
+        ivf_index_topk,
+        ivf_index_topk_batch,
+        lsh_topk_batch,
+        lsh_cosine_topk,
+        write_ann_index,
+        write_ivf_index,
+    )
+
+    df, vecs = emb_df
+    queries = {i: vecs[i].astype(float).tolist() for i in (0, 3, 7, 11)}
+
+    ann_path = str(tmp_path / "ann")
+    write_ann_index(df, ann_path, num_bits=2, dim=16, num_bands=2)
+    batch = ann_index_topk_batch(
+        spark, ann_path, queries, k=5, num_bits=2, num_bands=2, score="matmul"
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    for qid, qv in queries.items():
+        want = [
+            (i + 1, r["vec_id"], r["sim"])
+            for i, r in enumerate(
+                ann_index_topk(
+                    spark, ann_path, qv, k=5, num_bits=2, num_bands=2,
+                    exclude_vec_id=qid, score="matmul",
+                ).collect()
+            )
+        ]
+        assert sorted(got[qid]) == want, qid
+    # the one batch job still prunes: PartitionFilters non-empty
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any(
+        "bucket" in l and "[]" not in l.split("PartitionFilters:")[1][:60]
+        for l in pf
+    )
+
+    ivf_path = str(tmp_path / "ivf")
+    cents = write_ivf_index(df, ivf_path, num_centroids=4)
+    ibatch = ivf_index_topk_batch(
+        spark, ivf_path, cents, queries, k=5, nprobe=2, score="matmul"
+    )
+    igot = {}
+    for r in ibatch.collect():
+        igot.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    for qid, qv in queries.items():
+        want = [
+            (i + 1, r["vec_id"], r["sim"])
+            for i, r in enumerate(
+                ivf_index_topk(
+                    spark, ivf_path, cents, qv, k=5, nprobe=2,
+                    exclude_vec_id=qid, score="matmul",
+                ).collect()
+            )
+        ]
+        assert sorted(igot[qid]) == want, qid
+
+    # the in-flight variant agrees with the single-query recompute path
+    fly = lsh_topk_batch(df, queries, k=5, num_bits=2, dim=16, num_bands=2)
+    fgot = {}
+    for r in fly.collect():
+        fgot.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    for qid in queries:
+        want = [
+            (i + 1, r["vec_id"], r["sim"])
+            for i, r in enumerate(
+                lsh_cosine_topk(df, qid, k=5, num_bits=2, dim=16, num_bands=2).collect()
+            )
+        ]
+        assert sorted(fgot[qid]) == want, qid

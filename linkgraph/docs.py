@@ -294,8 +294,18 @@ def minhash_candidate_pairs(
     pair through their other, selective bands — the drop costs recall
     only for pairs whose EVERY matching band is boilerplate.
     """
+    # materialize the banded table ONCE before it fans out (cap sizes +
+    # both self-join sides): un-checkpointed, Catalyst re-executes the
+    # ENTIRE tokenize→shingle→md5→signature pipeline per consumer — 4
+    # recomputes of the pipeline's most expensive stage (profiled r04 at
+    # 200k docs: candidates 45 s of which banding is ~11 s; checkpoint
+    # cuts the stage to ~1 pipeline pass). localCheckpoint stores
+    # MEMORY_AND_DISK, so the 8-rows/doc table spills rather than OOMs.
     banded = _capped(
-        _banded_buckets(documents, num_hashes, bands, k, seed), max_bucket_size
+        _banded_buckets(documents, num_hashes, bands, k, seed).localCheckpoint(
+            eager=True
+        ),
+        max_bucket_size,
     )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
@@ -371,7 +381,9 @@ def ngram_jaccard_pairs(
     The index keys on the 60-bit shingle hash (shingle_hashes), not the
     string — same jaccard values modulo md5-60 collisions, 8-byte shuffle
     keys."""
-    sh = shingle_hashes(documents, k=k)
+    # one materialization before the fan-out (sizes + index + both join
+    # sides) — see minhash_candidate_pairs
+    sh = shingle_hashes(documents, k=k).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     idx = sh
     if max_doc_freq is not None:
@@ -590,7 +602,7 @@ def dedup_clusters(
         # can be huge at corpus scale — AQE picks broadcast when it fits)
         sh = shingle_hashes(
             documents.join(cand_docs, "doc_id", "left_semi"), k=k
-        )
+        ).localCheckpoint(eager=True)  # fans out to sizes + both probe sides
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         a = sh.select(F.col("doc_id").alias("doc_a"), "x")
         b = sh.select(F.col("doc_id").alias("doc_b"), "x")
@@ -936,7 +948,9 @@ def fingerprint_overlap_pairs(
     appearing in more than ``max_fp_doc_freq`` documents (boilerplate —
     license headers, templates) are dropped from the index first, the same
     stop-key guard as ngram_jaccard_pairs."""
-    fp = fingerprints(documents, k=k, window=window)
+    # one materialization before the fan-out (doc-freq filter + both join
+    # sides) — see minhash_candidate_pairs
+    fp = fingerprints(documents, k=k, window=window).localCheckpoint(eager=True)
     if max_fp_doc_freq is not None:
         freq = fp.groupBy("fp").agg(F.count("*").alias("df"))
         fp = fp.join(freq, "fp").filter(F.col("df") <= max_fp_doc_freq).drop("df")

@@ -303,9 +303,13 @@ def cosine_dup_pairs(
     dropped in one band can still qualify through another."""
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
+    # materialize once before the fan-out (cap sizes + both self-join
+    # sides) — otherwise the pandas-UDF bucket matmul re-runs per
+    # consumer (see docs.minhash_candidate_pairs, same fix); stored
+    # MEMORY_AND_DISK so a vectors-×-bands table spills rather than OOMs
     banded = _banded_vectors(
         embeddings, num_bits, dim, seed, num_bands, id_col, vec_col
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
         banded = (
@@ -363,9 +367,10 @@ def lsh_knn_join(
     """
     if dim is None:
         dim = _infer_dim(embeddings, vec_col)
+    # materialize once before the fan-out — see cosine_dup_pairs
     banded = _banded_vectors(
         embeddings, num_bits, dim, seed, num_bands, id_col, vec_col
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
         banded = (

@@ -55,9 +55,12 @@ DOC_ALGOS = (
     "minhash_pairs",
     "quality_filter",
     "sample",
+    "despan",
 )
-# ANN index builds over an embeddings table (--embeddings input)
-ANN_ALGOS = ("ann_index", "ivf_index")
+# ANN index builds over an embeddings table (--embeddings input), plus
+# batch query serving against a written index (--embeddings = the QUERY
+# table, --index = the built index path)
+ANN_ALGOS = ("ann_index", "ivf_index", "ann_query", "ivf_query")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -77,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-centroids", type=int, default=16, help="IVF centroid count")
     p.add_argument("--sample-rate", type=float, default=0.1,
                    help="deterministic hash-sample keep rate for --algo sample")
+    p.add_argument("--min-span-len", type=int, default=50,
+                   help="minimum repeated-span length (chars) for --algo despan")
+    p.add_argument("--index", help="written ANN/IVF index path for *_query algos")
+    p.add_argument("--topk", type=int, default=10, help="neighbors per query for *_query algos")
+    p.add_argument("--nprobe", type=int, default=2, help="probed cells for --algo ivf_query")
     p.add_argument("--output", required=True, help="result table path")
     p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
     p.add_argument("--run-id", default="run0")
@@ -207,6 +215,8 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         result = docmod.sample_documents(documents, rate=args.sample_rate)
     elif args.algo == "fingerprints":
         result = docmod.fingerprints(documents)
+    elif args.algo == "despan":
+        result = docmod.remove_repeated_spans(documents, min_len=args.min_span_len)
     else:
         result = docmod.language_id(documents)
     result.write.mode("overwrite").parquet(args.output)
@@ -235,7 +245,29 @@ def _run_ann_index(spark: SparkSession, args) -> int:
     embeddings = spark.read.parquet(args.embeddings)
     t0 = time.monotonic()
     extra: dict = {}
-    if args.algo == "ann_index":
+    if args.algo in ("ann_query", "ivf_query"):
+        # batch serving: --embeddings is the QUERY table (bounded — it is
+        # collected driver-side to route buckets/probes), --index the
+        # written index; all queries answered in ONE partition-pruned job
+        if not args.index:
+            print(f"{args.algo} requires --index", file=sys.stderr)
+            return 2
+        queries = {
+            int(r["vec_id"]): list(r["embedding"]) for r in embeddings.collect()
+        }
+        if args.algo == "ann_query":
+            result = similarity.ann_index_topk_batch(
+                spark, args.index, queries, k=args.topk,
+                num_bits=args.num_bits, num_bands=args.num_bands,
+            )
+        else:
+            cents = similarity.read_ivf_centroids(spark, args.index)
+            result = similarity.ivf_index_topk_batch(
+                spark, args.index, cents, queries, k=args.topk, nprobe=args.nprobe
+            )
+        result.write.mode("overwrite").parquet(args.output)
+        extra["n_queries"] = len(queries)
+    elif args.algo == "ann_index":
         similarity.write_ann_index(
             embeddings,
             args.output,

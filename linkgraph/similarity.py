@@ -624,9 +624,11 @@ def write_ivf_index(
 ) -> "list[np.ndarray]":
     """Materialize (vec_id, embedding) hive-partitioned by IVF cell; a
     query reads only its probed cells' files (partition pruning at the
-    scan, like :func:`write_ann_index`). Returns the centroid list the
-    caller must keep (or re-derive — it is deterministic) to route
-    queries."""
+    scan, like :func:`write_ann_index`). Returns the centroid list, and
+    ALSO persists it as a ``{path}_centroids`` parquet sidecar (cid,
+    cvec) — C rows — so a later serving process routes queries without
+    re-deriving centroids from the original embeddings
+    (:func:`read_ivf_centroids`)."""
     cents = ivf_centroids(
         embeddings, num_centroids, lloyd_iters, id_col, vec_col, method=method
     )
@@ -639,7 +641,22 @@ def write_ivf_index(
         .partitionBy("cid")
         .parquet(path)
     )
+    _centroid_df(embeddings.sparkSession, cents).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path.rstrip('/')}_centroids")
     return cents
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> "list[np.ndarray]":
+    """Centroid list from the ``{path}_centroids`` sidecar written by
+    :func:`write_ivf_index` (cid = list index)."""
+    rows = spark.read.parquet(f"{path.rstrip('/')}_centroids").collect()
+    out: list[np.ndarray | None] = [None] * len(rows)
+    for r in rows:
+        out[int(r["cid"])] = np.asarray(r["cvec"], dtype=np.float64)
+    if any(c is None for c in out):
+        raise ValueError(f"centroid sidecar at {path}_centroids has gaps")
+    return out  # type: ignore[return-value]
 
 
 def ivf_index_topk(

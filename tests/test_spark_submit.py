@@ -167,18 +167,38 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
     pairs_out = str(tmp_path / "pairs")
     idx_out = str(tmp_path / "annidx")
 
+    despan_out = str(tmp_path / "despan")
+    ivf_out = str(tmp_path / "ivfidx")
+    annq_out = str(tmp_path / "annq")
+    ivfq_out = str(tmp_path / "ivfq")
     wrapper = workdir / "both.py"
     wrapper.write_text(
         "import driver\n"
         f"rc1 = driver.main(['--algo', 'minhash_pairs', '--docs', {docs_path!r},"
         f" '--output', {pairs_out!r}, '--max-bucket-size', '1000'])\n"
         "assert rc1 == 0, rc1\n"
+        f"rc2 = driver.main(['--algo', 'despan', '--docs', {docs_path!r},"
+        f" '--output', {despan_out!r}, '--min-span-len', '30'])\n"
+        "assert rc2 == 0, rc2\n"
     )
     wrapper2 = workdir / "ann.py"
     wrapper2.write_text(
         "import driver\n"
         f"rc = driver.main(['--algo', 'ann_index', '--embeddings', {emb_path!r},"
         f" '--output', {idx_out!r}, '--num-bits', '2', '--num-bands', '2'])\n"
+        "assert rc == 0, rc\n"
+        # round 4: batch query serving against the just-written indexes —
+        # the query table here is the embeddings table itself
+        f"rc = driver.main(['--algo', 'ann_query', '--embeddings', {emb_path!r},"
+        f" '--index', {idx_out!r}, '--output', {annq_out!r},"
+        f" '--num-bits', '2', '--num-bands', '2', '--topk', '3'])\n"
+        "assert rc == 0, rc\n"
+        f"rc = driver.main(['--algo', 'ivf_index', '--embeddings', {emb_path!r},"
+        f" '--output', {ivf_out!r}, '--num-centroids', '4'])\n"
+        "assert rc == 0, rc\n"
+        f"rc = driver.main(['--algo', 'ivf_query', '--embeddings', {emb_path!r},"
+        f" '--index', {ivf_out!r}, '--output', {ivfq_out!r},"
+        f" '--topk', '3', '--nprobe', '2'])\n"
         "assert rc == 0, rc\n"
     )
 
@@ -223,3 +243,16 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
         exclude_vec_id=0,
     )
     assert got.count() >= 1  # index routable end-to-end
+
+    # round 4: despan rewrote the shared 30-token prefix out of the
+    # later docs (doc 0/1 pair is the canonical keeper of the base text)
+    despan = spark.read.parquet(despan_out).toPandas()
+    assert len(despan) == 12
+    assert despan["n_removed"].sum() > 0
+
+    # batch query serving outputs: every query answered, schema stable
+    for out, nq in ((annq_out, 40), (ivfq_out, 40)):
+        q = spark.read.parquet(out).toPandas()
+        assert set(q.columns) == {"qid", "vec_id", "sim", "rank"}
+        assert q["qid"].nunique() >= nq - 1  # a query may have no band-mates
+        assert (q.groupby("qid")["rank"].max() <= 3).all()

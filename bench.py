@@ -331,7 +331,14 @@ def main() -> None:
                 (n or n_docs) / timings[f"bigdocs_{name}"], 1
             )
 
-        timed_docs("token_stats", lambda: docmod.token_stats(corpus).count())
+        # the action must CONSUME a computed column: .count() on a pure
+        # projection lets Catalyst prune the whole expression tree away
+        # (all prior rounds' ~0.15 s "token_stats" timings measured only
+        # the persisted corpus's row count — found and fixed r04)
+        timed_docs(
+            "token_stats",
+            lambda: docmod.token_stats(corpus).agg(F.sum("n_bpe_tokens")).collect(),
+        )
         timed_docs("exact_dedup", lambda: docmod.exact_dedup(corpus, by_hash=True).count())
         timed_docs(
             "minhash_pairs",
@@ -356,9 +363,13 @@ def main() -> None:
             "despan",
             # exact-substring dedup (round 4) on the same 25% slice as
             # fingerprints (same char-explode cost class)
+            # sum(n_removed) forces the span index + rewrite (a count()
+            # would prune the row-preserving left join + fold entirely)
             lambda: docmod.remove_repeated_spans(
                 corpus.filter(F.col("doc_id") % 4 == 0), min_len=50
-            ).count(),
+            )
+            .agg(F.sum("n_removed"))
+            .collect(),
             n=(BIG_DOCS + 3) // 4,
         )
         corpus.unpersist()

@@ -713,26 +713,6 @@ def _score_against(idx: DataFrame, q: np.ndarray, score: str) -> DataFrame:
 
 
 # ----------------------------------------------------- batch query serving
-def _pairwise_cosine_udf():
-    """Arrow-batched PAIRWISE cosine: two array columns → rowwise cosine
-    via one einsum per batch — the scorer for batch serving, where every
-    row has its own query vector (the broadcast-one-query matvec of
-    :func:`_cosine_to_query_udf` doesn't apply). Rounded to 6 dp like the
-    SQL path."""
-
-    @pandas_udf("double")
-    def sim(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        na[na == 0.0] = 1.0
-        nb[nb == 0.0] = 1.0
-        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb) / (na * nb), 6))
-
-    return sim
-
-
 def _queries_rows(
     queries: "dict[int, list[float] | np.ndarray]",
 ) -> "list[tuple[int, np.ndarray]]":
@@ -741,23 +721,63 @@ def _queries_rows(
     ]
 
 
+def _cosine_to_queries_udf(queries: "dict[int, np.ndarray]"):
+    """Arrow-batched scorer for MANY queries: (qid, vec) → cosine against
+    qid's OWN query vector. The whole normalized query matrix rides the
+    closure (Q × dim float64 — ~100 KB at 50 × 256), so the plan ships
+    only the candidate vector per row — no per-row query vector through
+    the join. Per batch: one normalize + index-gather + rowwise einsum."""
+    qids = sorted(queries)
+    qmat = np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0
+    qmat = qmat / qnorm
+    index = {qid: i for i, qid in enumerate(qids)}
+
+    @pandas_udf("double")
+    def sim(qid: pd.Series, vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        idx = qid.map(index).to_numpy()
+        return pd.Series(
+            np.round(np.einsum("ij,ij->i", m / norms[:, None], qmat[idx]), 6)
+        )
+
+    return sim
+
+
 def _batch_topk(
-    joined: DataFrame, k: int, score: str, exclude_self: bool
+    joined: DataFrame,
+    k: int,
+    score: str,
+    exclude_self: bool,
+    queries: "dict[int, np.ndarray] | None" = None,
 ) -> DataFrame:
     """Shared tail of every batch-serving operator: candidate rows
-    (qid, vec_id, v, qv) → per-query top-k (qid, vec_id, sim, rank).
-    A vector colliding with a query in several bands/cells is scored
-    once; rank = row_number by (sim desc, vec_id asc), deterministic."""
+    (qid, vec_id, v[, qv]) → per-query top-k (qid, vec_id, sim, rank).
+
+    Scoring happens BEFORE any shuffle, so the multi-band/cell dedup and
+    the per-query window move 24-byte (qid, vec_id, sim) rows, never
+    vectors. (The first cut deduped (qid, vec_id) rows that still
+    carried both vectors — at 1M × dim 256 × 50 queries that shuffled
+    ~19 GB and made IVF batch serving 0.6× the per-query loop it was
+    meant to replace; measured r04.) Duplicate (qid, vec_id) rows score
+    identically, so dedup-after-score is value-identical.
+    ``score='matmul'`` uses the closure-query scorer (requires
+    ``queries``); ``'sql'`` is the oracle-exact zip_with path over the
+    row's qv column. rank = row_number by (sim desc, vec_id asc)."""
     from pyspark.sql import Window
 
     if exclude_self:
         joined = joined.filter(F.col("vec_id") != F.col("qid"))
-    joined = joined.dropDuplicates(["qid", "vec_id"])
     if score == "matmul":
+        if queries is None:
+            raise ValueError("score='matmul' batch serving needs the queries dict")
         scored = joined.select(
             "qid",
             "vec_id",
-            _pairwise_cosine_udf()(F.col("v"), F.col("qv")).alias("sim"),
+            _cosine_to_queries_udf(queries)(F.col("qid"), F.col("v")).alias("sim"),
         )
     elif score == "sql":
         scored = joined.select(
@@ -769,6 +789,7 @@ def _batch_topk(
         )
     else:
         raise ValueError(f"unknown score {score!r} (want 'sql' or 'matmul')")
+    scored = scored.dropDuplicates(["qid", "vec_id"])
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -824,7 +845,9 @@ def lsh_topk_batch(
     joined = banded.join(F.broadcast(qdf), ["band", "bucket"]).select(
         "qid", "vec_id", "v", "qv"
     )
-    return _batch_topk(joined, k, score, exclude_self)
+    return _batch_topk(
+        joined, k, score, exclude_self, queries=dict(_queries_rows(queries))
+    )
 
 
 def ann_index_topk_batch(
@@ -867,7 +890,9 @@ def ann_index_topk_batch(
         .join(F.broadcast(qdf), ["band", "bucket"])
         .select("qid", "vec_id", F.col("embedding").alias("v"), "qv")
     )
-    return _batch_topk(joined, k, score, exclude_self)
+    return _batch_topk(
+        joined, k, score, exclude_self, queries=dict(_queries_rows(queries))
+    )
 
 
 def ivf_index_topk_batch(
@@ -905,7 +930,7 @@ def ivf_index_topk_batch(
         .join(F.broadcast(qdf), ["cid"])
         .select("qid", "vec_id", F.col("embedding").alias("v"), "qv")
     )
-    return _batch_topk(joined, k, score, exclude_self)
+    return _batch_topk(joined, k, score, exclude_self, queries=dict(qrows))
 
 
 # ------------------------------------------------------- persisted index

@@ -480,18 +480,25 @@ def main() -> None:
             # the pruned scan touches ~32k rows); the batch operator
             # replaces Q driver-looped jobs with one partition-pruned
             # join (VERDICT r03 'Next round' #3)
-            t = time.monotonic()
-            hits = total = 0
-            got_b: dict[int, list[int]] = {}
-            for r in ann_index_topk_batch(
-                spark, ann_path, queries, k=10, num_bits=ANN_BITS,
-                num_bands=ANN_BANDS, index_df=ann_df, score="matmul",
-            ).collect():
-                got_b.setdefault(r["qid"], []).append(r["vec_id"])
-            for qid in queries:
-                hits += len(set(got_b.get(qid, [])) & set(brute[qid]))
-                total += len(brute[qid])
-            wall = time.monotonic() - t
+            # best-of-2 like the gate section: the batch job is cheap
+            # enough to repeat, and a single sample under tenancy
+            # misstates the loop-vs-batch ratio by 2×
+            walls = []
+            for _ in range(2):
+                t = time.monotonic()
+                hits = total = 0
+                got_b: dict[int, list[int]] = {}
+                for r in ann_index_topk_batch(
+                    spark, ann_path, queries, k=10, num_bits=ANN_BITS,
+                    num_bands=ANN_BANDS, index_df=ann_df, score="matmul",
+                ).collect():
+                    got_b.setdefault(r["qid"], []).append(r["vec_id"])
+                for qid in queries:
+                    hits += len(set(got_b.get(qid, [])) & set(brute[qid]))
+                    total += len(brute[qid])
+                walls.append(round(time.monotonic() - t, 3))
+            wall = min(walls)
+            samples_log["bigann_queries_batch"] = walls
             timings["bigann_queries_batch"] = round(wall, 3)
             big_stats["ann_batch_query_ms"] = round(1000.0 * wall / len(queries), 1)
             big_stats["ann_batch_recall_at_10"] = round(hits / total, 4)
@@ -499,18 +506,22 @@ def main() -> None:
                 timings["bigann_queries"] / wall, 1
             )
 
-            t = time.monotonic()
-            hits = total = 0
-            got_b = {}
-            for r in ivf_index_topk_batch(
-                spark, ivf_path, cents, queries, k=10, nprobe=IVF_NPROBE,
-                index_df=ivf_df, score="matmul",
-            ).collect():
-                got_b.setdefault(r["qid"], []).append(r["vec_id"])
-            for qid in queries:
-                hits += len(set(got_b.get(qid, [])) & set(brute[qid]))
-                total += len(brute[qid])
-            wall = time.monotonic() - t
+            walls = []
+            for _ in range(2):
+                t = time.monotonic()
+                hits = total = 0
+                got_b = {}
+                for r in ivf_index_topk_batch(
+                    spark, ivf_path, cents, queries, k=10, nprobe=IVF_NPROBE,
+                    index_df=ivf_df, score="matmul",
+                ).collect():
+                    got_b.setdefault(r["qid"], []).append(r["vec_id"])
+                for qid in queries:
+                    hits += len(set(got_b.get(qid, [])) & set(brute[qid]))
+                    total += len(brute[qid])
+                walls.append(round(time.monotonic() - t, 3))
+            wall = min(walls)
+            samples_log["bigivf_queries_batch"] = walls
             timings["bigivf_queries_batch"] = round(wall, 3)
             big_stats["ivf_batch_query_ms"] = round(1000.0 * wall / len(queries), 1)
             big_stats["ivf_batch_recall_at_10"] = round(hits / total, 4)

@@ -372,6 +372,19 @@ def main() -> None:
             .collect(),
             n=(BIG_DOCS + 3) // 4,
         )
+        timed_docs(
+            "despan_xx",
+            # production fast path: xxhash64 position hashes (JVM
+            # intrinsic) instead of the oracle-neutral md5-60 fragment
+            lambda: docmod.remove_repeated_spans(
+                corpus.filter(F.col("doc_id") % 4 == 0),
+                min_len=50,
+                hasher="xxhash64",
+            )
+            .agg(F.sum("n_removed"))
+            .collect(),
+            n=(BIG_DOCS + 3) // 4,
+        )
         corpus.unpersist()
 
         # --------- big embeddings: ANN index build + query + recall@10

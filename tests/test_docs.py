@@ -811,3 +811,25 @@ def test_batch_serving_matches_per_query_loop(spark, emb_df, tmp_path):
             )
         ]
         assert sorted(fgot[qid]) == want, qid
+
+
+def test_remove_repeated_spans_xxhash_fast_path(spark):
+    """hasher='xxhash64' (production fast path) removes exactly the same
+    planted spans as the oracle-neutral md5 path — the hash only names
+    k-grams, so any collision-free hash yields identical islands."""
+    from linkgraph.docs import remove_repeated_spans
+
+    _, texts = _despan_fixture()
+    df = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    for keep in ("first", "none"):
+        md5 = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in remove_repeated_spans(df, min_len=30, keep=keep).collect()
+        }
+        xx = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in remove_repeated_spans(
+                df, min_len=30, keep=keep, hasher="xxhash64"
+            ).collect()
+        }
+        assert md5 == xx

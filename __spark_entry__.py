@@ -326,6 +326,61 @@ def _q_ivf_knn(spark, sf_dir):
     )
 
 
+def _q_hits5(spark, sf_dir):
+    """Kleinberg HITS, 5 L2-normalized rounds (round 4) — the hub/
+    authority sibling of PageRank on the same persisted layout."""
+    from linkgraph.operators import hits
+
+    h = hits(_graph(spark, sf_dir), iterations=5)
+    return h.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient (round 4)."""
+    from linkgraph.operators import local_clustering
+
+    return local_clustering(_graph(spark, sf_dir))
+
+
+def _q_adamic_adar(spark, sf_dir):
+    """Top-50 non-adjacent pairs by Adamic-Adar score (round 4) — link
+    prediction from the triangle wedge machinery; uncapped so the oracle
+    matches exactly (max_center_degree is the 100 TB knob)."""
+    from linkgraph.operators import adamic_adar
+
+    return adamic_adar(_graph(spark, sf_dir), top_k=50)
+
+
+def _q_harmonic8(spark, sf_dir):
+    """Seeded harmonic centrality from sources 0-7 via multi-source BFS
+    (round 4) — all 8 traversals advance in ONE job per level."""
+    from linkgraph.operators import harmonic_centrality
+
+    return harmonic_centrality(_graph(spark, sf_dir), sources=list(range(8)))
+
+
+def _q_sessionize(spark, sf_dir):
+    """Batch gap-sessionization of the events table (round 4) — the
+    batch twin of streaming.stream_sessionize; single user_id shuffle."""
+    from linkgraph import events
+
+    return events.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_seconds=1800
+    )
+
+
+def _q_events_rollup(spark, sf_dir):
+    """Hourly per-type rollup of the events table (round 4) — the
+    hypertable continuous-aggregate shape, one partial-agg groupBy."""
+    from linkgraph import events
+
+    return events.rollup(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), bucket="hour"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degrees": _q_degrees,
@@ -366,6 +421,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
+        "hits5": _q_hits5,
+        "clustering_coeff": _q_clustering_coeff,
+        "adamic_adar": _q_adamic_adar,
+        "harmonic8": _q_harmonic8,
+        "sessionize": _q_sessionize,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -418,4 +479,10 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": osql.personalized_pagerank_sql([0, 1, 2, 3], 10),
         "reciprocity": osql.reciprocity_sql(),
         "assortativity": osql.assortativity_sql(),
+        "hits5": osql.hits_sql(5),
+        "clustering_coeff": osql.clustering_coeff_sql(),
+        "adamic_adar": osql.adamic_adar_sql(top_k=50),
+        "harmonic8": osql.harmonic_sql(list(range(8))),
+        "sessionize": osql.sessionize_sql(gap_seconds=1800),
+        "events_rollup": osql.events_rollup_sql(bucket="hour"),
     }

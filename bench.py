@@ -34,8 +34,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from linkgraph.derive import link_graph  # noqa: E402
 from linkgraph.graph import Graph  # noqa: E402
 from linkgraph.operators import (  # noqa: E402
+    adamic_adar,
     bfs,
+    harmonic_centrality,
+    hits,
     label_propagation,
+    local_clustering,
     pagerank,
     spmv,
     sssp,
@@ -271,6 +275,43 @@ def main() -> None:
     timed("sssp", lambda: sssp(g, root=0).count(), repeats=3)
     timed("spmv", lambda: spmv(g).count(), repeats=3)
 
+    # round-4 extensions — actions AGGREGATE a computed column (a bare
+    # count() on a projection lets Catalyst prune the expression tree;
+    # the honest-bench rule from the despan round)
+    timed(
+        "hits5",
+        lambda: hits(g, iterations=5).agg(F.sum("auth"), F.sum("hub")).collect(),
+        repeats=3,
+    )
+    timed(
+        "harmonic8",
+        lambda: harmonic_centrality(g, sources=list(range(8)))
+        .agg(F.sum("harmonic"))
+        .collect(),
+        repeats=3,
+    )
+    timed(
+        "clustering_coeff",
+        lambda: local_clustering(g).agg(F.sum("lcc")).collect(),
+        repeats=3,
+    )
+    timed("adamic_adar", lambda: adamic_adar(g, top_k=50).collect(), repeats=3)
+
+    # batch events operators on the sf events table (single-shuffle each)
+    from linkgraph import events as _ev
+
+    events_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "sessionize",
+        lambda: _ev.sessionize(events_df).agg(F.sum("total_value")).collect(),
+        repeats=3,
+    )
+    timed(
+        "events_rollup",
+        lambda: _ev.rollup(events_df).agg(F.sum("sum_value")).collect(),
+        repeats=3,
+    )
+
     # ---------------- big graph: every kernel at plan-dominant scale
     big_stats: dict[str, float] = {}
     if not skip_big:
@@ -450,7 +491,7 @@ def main() -> None:
             timings["bigann_brute_pass"] = round(time.monotonic() - t, 3)
 
             t = time.monotonic()
-            hits = total = 0
+            n_hit = total = 0
             ann_df = spark.read.parquet(ann_path)  # list dirs ONCE
             for qid, qv in queries.items():
                 got = [
@@ -461,16 +502,16 @@ def main() -> None:
                         index_df=ann_df, score="matmul",
                     ).collect()
                 ]
-                hits += len(set(got) & set(brute[qid]))
+                n_hit += len(set(got) & set(brute[qid]))
                 total += len(brute[qid])
             wall = time.monotonic() - t
             timings["bigann_queries"] = round(wall, 3)
             big_stats["ann_query_ms"] = round(1000.0 * wall / len(queries), 1)
-            big_stats["ann_recall_at_10"] = round(hits / total, 4)
+            big_stats["ann_recall_at_10"] = round(n_hit / total, 4)
             big_stats["ann_config"] = f"bits={ANN_BITS},bands={ANN_BANDS}"
 
             t = time.monotonic()
-            hits = total = 0
+            n_hit = total = 0
             ivf_df = spark.read.parquet(ivf_path)  # list dirs ONCE
             for qid, qv in queries.items():
                 got = [
@@ -480,12 +521,12 @@ def main() -> None:
                         exclude_vec_id=qid, index_df=ivf_df, score="matmul",
                     ).collect()
                 ]
-                hits += len(set(got) & set(brute[qid]))
+                n_hit += len(set(got) & set(brute[qid]))
                 total += len(brute[qid])
             wall = time.monotonic() - t
             timings["bigivf_queries"] = round(wall, 3)
             big_stats["ivf_query_ms"] = round(1000.0 * wall / len(queries), 1)
-            big_stats["ivf_recall_at_10"] = round(hits / total, 4)
+            big_stats["ivf_recall_at_10"] = round(n_hit / total, 4)
             big_stats["ivf_config"] = f"C={IVF_C},nprobe={IVF_NPROBE}"
 
             # ---- batch serving (round 4): ALL queries in ONE job — the
@@ -499,7 +540,7 @@ def main() -> None:
             walls = []
             for _ in range(2):
                 t = time.monotonic()
-                hits = total = 0
+                n_hit = total = 0
                 got_b: dict[int, list[int]] = {}
                 for r in ann_index_topk_batch(
                     spark, ann_path, queries, k=10, num_bits=ANN_BITS,
@@ -507,14 +548,14 @@ def main() -> None:
                 ).collect():
                     got_b.setdefault(r["qid"], []).append(r["vec_id"])
                 for qid in queries:
-                    hits += len(set(got_b.get(qid, [])) & set(brute[qid]))
+                    n_hit += len(set(got_b.get(qid, [])) & set(brute[qid]))
                     total += len(brute[qid])
                 walls.append(round(time.monotonic() - t, 3))
             wall = min(walls)
             samples_log["bigann_queries_batch"] = walls
             timings["bigann_queries_batch"] = round(wall, 3)
             big_stats["ann_batch_query_ms"] = round(1000.0 * wall / len(queries), 1)
-            big_stats["ann_batch_recall_at_10"] = round(hits / total, 4)
+            big_stats["ann_batch_recall_at_10"] = round(n_hit / total, 4)
             big_stats["ann_batch_speedup_vs_loop"] = round(
                 timings["bigann_queries"] / wall, 1
             )
@@ -522,7 +563,7 @@ def main() -> None:
             walls = []
             for _ in range(2):
                 t = time.monotonic()
-                hits = total = 0
+                n_hit = total = 0
                 got_b = {}
                 for r in ivf_index_topk_batch(
                     spark, ivf_path, cents, queries, k=10, nprobe=IVF_NPROBE,
@@ -530,14 +571,14 @@ def main() -> None:
                 ).collect():
                     got_b.setdefault(r["qid"], []).append(r["vec_id"])
                 for qid in queries:
-                    hits += len(set(got_b.get(qid, [])) & set(brute[qid]))
+                    n_hit += len(set(got_b.get(qid, [])) & set(brute[qid]))
                     total += len(brute[qid])
                 walls.append(round(time.monotonic() - t, 3))
             wall = min(walls)
             samples_log["bigivf_queries_batch"] = walls
             timings["bigivf_queries_batch"] = round(wall, 3)
             big_stats["ivf_batch_query_ms"] = round(1000.0 * wall / len(queries), 1)
-            big_stats["ivf_batch_recall_at_10"] = round(hits / total, 4)
+            big_stats["ivf_batch_recall_at_10"] = round(n_hit / total, 4)
             big_stats["ivf_batch_speedup_vs_loop"] = round(
                 timings["bigivf_queries"] / wall, 1
             )

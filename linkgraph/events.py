@@ -1,0 +1,89 @@
+"""Batch event-stream analytics over the ``events`` table — the batch
+siblings of linkgraph.streaming (stream_sessionize et al.), for the
+backfill/replay half of a lambda pipeline.
+
+Input schema (TESTDATA.md): events(event_id, ts: timestamp, user_id,
+event_type, value, props).
+
+Scale notes: both operators are single-shuffle — sessionize shuffles
+once on user_id (the window and the session aggregate share that
+partitioning, Catalyst plans one exchange), rollup is one partial-
+aggregated groupBy. Timestamps are compared in integral MICROSECONDS
+on both engine and oracle. The parquet ``ts`` is TIMESTAMP_NTZ, so the
+micros expression is ``timestampdiff(MICROSECOND, ntz-epoch, ts)`` —
+timezone-INDEPENDENT, matching DuckDB's naive ``epoch_us`` no matter
+the session timezone (``unix_micros(cast(ts as timestamp))`` would
+shift by the session zone; a plain long cast truncates to seconds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ntz_micros(col: Column) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ, timezone-independent."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a user's events ordered by (ts,
+    event_id) split into sessions wherever the inter-event gap exceeds
+    ``gap_seconds``. Returns one row per session:
+
+        (user_id, session_id, n_events, start_us, end_us, total_value)
+
+    session_id numbers a user's sessions from 1 in time order; bounds
+    are epoch microseconds (engine-neutral, unlike rendered timestamps);
+    total_value is rounded to 6 dp. Same gap semantics as
+    streaming.stream_sessionize, without the watermark machinery."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _ntz_micros(F.col("ts"))
+    gap_us = int(gap_seconds) * 1_000_000
+    new_sess = (
+        F.when(us - F.lag(us).over(w) > F.lit(gap_us), 1)
+        .otherwise(0)  # first event: lag is null → otherwise-branch 0
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        us.alias("t_us"),
+        new_sess.alias("brk"),
+    ).withColumn("session_id", F.sum("brk").over(w) + 1)
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def rollup(events: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Time-bucketed rollup — the hypertable continuous-aggregate shape:
+
+        (bucket_us, event_type, n_events, n_users, sum_value, avg_value)
+
+    one row per (date_trunc(bucket, ts), event_type); n_users is an
+    exact COUNT(DISTINCT user_id) (swap in approx_count_distinct at
+    100 TB — noted, not defaulted, so the oracle matches exactly);
+    floats rounded to 6 dp."""
+    return (
+        events.groupBy(
+            _ntz_micros(F.date_trunc(bucket, F.col("ts"))).alias("bucket_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

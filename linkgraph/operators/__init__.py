@@ -7,20 +7,31 @@ merged back into the vertex-state DataFrame.
 """
 
 from linkgraph.operators.bfs import bfs
+from linkgraph.operators.harmonic import harmonic_centrality, multi_source_bfs
+from linkgraph.operators.hits import hits
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
+from linkgraph.operators.linkpred import adamic_adar
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.spmv import spmv
-from linkgraph.operators.stats import degree_assortativity, reciprocity
+from linkgraph.operators.stats import (
+    degree_assortativity,
+    local_clustering,
+    reciprocity,
+)
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
 from linkgraph.operators.wcc import wcc
 
 __all__ = [
     "bfs",
+    "multi_source_bfs",
+    "harmonic_centrality",
+    "hits",
     "k_core",
     "coreness",
     "label_propagation",
+    "adamic_adar",
     "pagerank",
     "spmv",
     "sssp",
@@ -28,6 +39,7 @@ __all__ = [
     "triangles_per_vertex",
     "personalized_pagerank",
     "reciprocity",
+    "local_clustering",
     "degree_assortativity",
     "wcc",
 ]

@@ -33,6 +33,41 @@ def reciprocity(graph: Graph) -> DataFrame:
     )
 
 
+def local_clustering(graph: Graph) -> DataFrame:
+    """(id, lcc) over the full vertex set: the local clustering
+    coefficient of the undirected simple graph —
+
+        lcc(v) = 2 · tri(v) / (deg(v) · (deg(v) − 1)),   0 when deg < 2
+
+    with tri(v) the per-corner triangle count (triangles.py) and deg(v)
+    the distinct-neighbor count. One wedge-join pass (shared with
+    triangles_per_vertex) + one degree aggregate + one vertex join;
+    rounded to 6 dp."""
+    from linkgraph.operators.triangles import triangles_per_vertex
+
+    canon = graph.canonical_undirected_edges()
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    tri = triangles_per_vertex(graph)
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    2.0 * F.col("triangles") / (F.col("d") * (F.col("d") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One row (assortativity: double): Pearson correlation, over directed
     edges, between the source's out-degree and the destination's

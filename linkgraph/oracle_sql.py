@@ -987,3 +987,182 @@ FROM edges e
 JOIN deg ds ON e.src = ds.id
 JOIN deg dd ON e.dst = dd.id
 """
+
+
+def hits_sql(iterations: int = 5) -> str:
+    """Unrolled Kleinberg HITS: per half-step a sum-over-neighbors CTE, a
+    1-row L2-norm CTE, and a full-vertex-set normalized-score CTE — the
+    DuckDB twin of operators/hits.py (same order: auth from the previous
+    hub, then hub from the NEW auth)."""
+    parts = ["h0 AS (SELECT id, 1.0 AS hub FROM vertices)"]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS (
+    SELECT e.dst AS id, SUM(h.hub) AS s
+    FROM edges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst
+),
+an{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM ar{i}),
+a{i} AS (
+    SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS auth
+    FROM vertices v LEFT JOIN ar{i} r ON v.id = r.id CROSS JOIN an{i} n
+),
+hr{i} AS (
+    SELECT e.src AS id, SUM(a.auth) AS s
+    FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+),
+hn{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM hr{i}),
+h{i} AS (
+    SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS hub
+    FROM vertices v LEFT JOIN hr{i} r ON v.id = r.id CROSS JOIN hn{i} n
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+{",".join(parts)}
+SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub
+FROM a{iterations} a JOIN h{iterations} h ON a.id = h.id
+"""
+
+
+def clustering_coeff_sql() -> str:
+    """lcc = 2·tri(v) / (deg·(deg−1)) over the undirected simple graph —
+    shares the compact-forward triangle CTEs of triangles_per_vertex_sql."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM canon e1
+    JOIN canon e2 ON e1.b = e2.a
+    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT id, COUNT(*) AS t FROM (
+        SELECT u AS id FROM tri
+        UNION ALL SELECT v AS id FROM tri
+        UNION ALL SELECT w AS id FROM tri
+    ) GROUP BY id
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+    ) GROUP BY id
+)
+SELECT v.id,
+       ROUND(CASE WHEN d.d >= 2
+                  THEN 2.0 * COALESCE(c.t, 0) / (d.d * (d.d - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM vertices v
+LEFT JOIN corners c ON v.id = c.id
+LEFT JOIN deg d ON v.id = d.id
+"""
+
+
+def adamic_adar_sql(top_k: int = 50) -> str:
+    """Wedge-join link prediction (operators/linkpred.py): the cut line
+    orders by the ROUNDED score so both engines agree despite float
+    summation order."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT a AS w, b AS x FROM canon
+    UNION ALL
+    SELECT b AS w, a AS x FROM canon
+),
+deg AS (SELECT w AS id, COUNT(*) AS d FROM sym GROUP BY w),
+sd AS (
+    SELECT s.w, s.x, 1.0 / ln(d.d) AS inv_ln_d
+    FROM sym s JOIN deg d ON s.w = d.id
+),
+scored AS (
+    SELECT s1.x AS a, s2.x AS b,
+           COUNT(*) AS cn,
+           ROUND(SUM(s1.inv_ln_d), 6) AS aa
+    FROM sd s1 JOIN sd s2 ON s1.w = s2.w AND s1.x < s2.x
+    GROUP BY s1.x, s2.x
+)
+SELECT s.a, s.b, s.cn, s.aa
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = s.a AND c.b = s.b)
+ORDER BY s.aa DESC, s.a ASC, s.b ASC
+LIMIT {top_k}
+"""
+
+
+def harmonic_sql(sources: list[int], max_depth: int = 64) -> str:
+    """Seeded harmonic centrality via a seed-dimensioned recursive walk —
+    the bfs_sql shape with a ``source`` column (MS-BFS flattening,
+    operators/harmonic.py). ``max_depth`` must exceed the gate graph's
+    eccentricity from every seed (diameter ~4, see bfs_sql — 16x
+    margin), matching the engine's max_iterations."""
+    seed_rows = ", ".join(f"({s}::BIGINT)" for s in sources)
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(source, id, dist) AS (
+    SELECT s.s AS source, s.s AS id, CAST(0 AS BIGINT) AS dist
+    FROM (VALUES {seed_rows}) s(s)
+    UNION
+    SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_depth}
+),
+md AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id)
+SELECT v.id,
+       ROUND(COALESCE(SUM(CASE WHEN md.dist > 0 THEN 1.0 / md.dist END), 0.0), 6)
+       AS harmonic
+FROM vertices v LEFT JOIN md ON v.id = md.id
+GROUP BY v.id
+"""
+
+
+# ------------------------------------------------------------------ events
+def sessionize_sql(gap_seconds: int = 1800) -> str:
+    """DuckDB twin of events.sessionize — identical (ts, event_id)
+    ordering, integral-microsecond gap comparison (epoch_us ↔
+    unix_micros; a seconds-truncating cast would diverge)."""
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+WITH marked AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, value, t_us,
+           CAST(SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY t_us, event_id) + 1 AS BIGINT)
+           AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(t_us) AS start_us,
+       MAX(t_us) AS end_us,
+       ROUND(SUM(value), 6) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def events_rollup_sql(bucket: str = "hour") -> str:
+    return f"""
+SELECT epoch_us(date_trunc('{bucket}', ts)) AS bucket_us,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""

@@ -1,0 +1,164 @@
+"""Round-4 centrality/link-pred extensions vs closed-form + NumPy oracles:
+HITS, local clustering coefficient, Adamic-Adar, seeded harmonic
+centrality (multi-source BFS)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from linkgraph.operators import (
+    adamic_adar,
+    harmonic_centrality,
+    hits,
+    local_clustering,
+    multi_source_bfs,
+)
+from tests.conftest import chain_edges, make_graph, two_cliques_edges, zipf_edges
+
+
+def _hits_numpy(edges: np.ndarray, n: int, iterations: int = 5):
+    """Dense twin of operators/hits.py: auth from previous hub, hub from
+    the NEW auth, L2 norm after each half-step."""
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] += 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    return a, h
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    edges, n = zipf_edges(n=200, m=1200)
+    g = make_graph(spark, edges, n)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(g, iterations=5).collect()}
+    a, h = _hits_numpy(edges, n)
+    for v in range(n):
+        assert got[v][0] == pytest.approx(a[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(h[v], abs=1e-9)
+    g.unpersist()
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    # leaves 1..8 all point at 0: leaves are pure hubs, 0 the pure authority
+    edges = np.array([[i, 0] for i in range(1, 9)])
+    g = make_graph(spark, edges, 9)
+    got = {r["id"]: r for r in hits(g, iterations=3).collect()}
+    assert got[0]["auth"] == pytest.approx(1.0)
+    assert got[0]["hub"] == pytest.approx(0.0)
+    for leaf in range(1, 9):
+        assert got[leaf]["auth"] == pytest.approx(0.0)
+        assert got[leaf]["hub"] == pytest.approx(1 / math.sqrt(8), abs=1e-12)
+    g.unpersist()
+
+
+def test_local_clustering_cliques_and_chain(spark):
+    edges, n = two_cliques_edges(5)  # two 5-cliques: every lcc = 1
+    g = make_graph(spark, edges, n)
+    for r in local_clustering(g).collect():
+        assert r["lcc"] == pytest.approx(1.0)
+    g.unpersist()
+    edges, n = chain_edges(10)  # no triangles anywhere
+    g = make_graph(spark, edges, n)
+    assert all(r["lcc"] == 0.0 for r in local_clustering(g).collect())
+    g.unpersist()
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    # triangle 0-1-2 plus pendant 2-3: deg(2)=3, tri(2)=1 → 2/(3·2) = 1/3
+    edges = np.array([[0, 1], [1, 2], [2, 0], [2, 3]])
+    g = make_graph(spark, edges, 4)
+    got = {r["id"]: r["lcc"] for r in local_clustering(g).collect()}
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(round(1 / 3, 6))
+    assert got[3] == 0.0
+    g.unpersist()
+
+
+def test_adamic_adar_star_closed_form(spark):
+    # star: center 0, leaves 1..4 — every leaf pair shares exactly {0},
+    # deg(0)=4 → aa = 1/ln(4); adjacent (leaf, center) pairs are excluded
+    edges = np.array([[0, i] for i in range(1, 5)])
+    g = make_graph(spark, edges, 5)
+    rows = adamic_adar(g, top_k=50).collect()
+    assert len(rows) == 6  # C(4,2) leaf pairs
+    for r in rows:
+        assert r["cn"] == 1
+        assert r["aa"] == pytest.approx(round(1 / math.log(4), 6))
+        assert 1 <= r["a"] < r["b"] <= 4
+    g.unpersist()
+
+
+def test_adamic_adar_triangle_has_no_candidates(spark):
+    # in a triangle every co-neighbor pair is already adjacent
+    edges = np.array([[0, 1], [1, 2], [2, 0]])
+    g = make_graph(spark, edges, 3)
+    assert adamic_adar(g, top_k=10).count() == 0
+    g.unpersist()
+
+
+def test_adamic_adar_center_degree_cap_drops_hub_wedges(spark):
+    # hub 0 joins leaves 1..9; separate path 10-11-12 contributes one pair
+    edges = np.array([[0, i] for i in range(1, 10)] + [[10, 11], [11, 12]])
+    g = make_graph(spark, edges, 13)
+    capped = adamic_adar(g, top_k=100, max_center_degree=2).collect()
+    assert [(r["a"], r["b"]) for r in capped] == [(10, 12)]
+    assert capped[0]["aa"] == pytest.approx(round(1 / math.log(2), 6))
+    g.unpersist()
+
+
+def _bfs_dists_numpy(edges: np.ndarray, n: int, source: int) -> np.ndarray:
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[s].append(d)
+    dist = np.full(n, -1)
+    dist[source] = 0
+    frontier = [source]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if dist[v] < 0:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_multi_source_bfs_matches_per_source_bfs(spark):
+    edges, n = zipf_edges(n=300, m=1500)
+    g = make_graph(spark, edges, n)
+    sources = [0, 1, 2, 3]
+    got = {
+        (r["source"], r["id"]): r["dist"]
+        for r in multi_source_bfs(g, sources).collect()
+    }
+    for s in sources:
+        want = _bfs_dists_numpy(edges, n, s)
+        reached = {v for v in range(n) if want[v] >= 0}
+        assert {v for (src, v) in got if src == s} == reached
+        for v in reached:
+            assert got[(s, v)] == want[v]
+    g.unpersist()
+
+
+def test_harmonic_chain_closed_form(spark):
+    edges, n = chain_edges(8)  # 0→1→…→7
+    g = make_graph(spark, edges, n)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g, [0, 1]).collect()}
+    for v in range(n):
+        want = 0.0
+        if v > 0:
+            want += 1 / v  # from source 0
+        if v > 1:
+            want += 1 / (v - 1)  # from source 1
+        assert got[v] == pytest.approx(round(want, 6), abs=1e-6)
+    g.unpersist()

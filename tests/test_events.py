@@ -1,0 +1,93 @@
+"""Batch events operators (linkgraph.events) vs hand-computed sessions
+and rollups on a planted micro-table, plus gap-boundary semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from linkgraph import events as ev
+
+
+def _events_df(spark, rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)."""
+    data = [
+        (eid, datetime.fromisoformat(ts), uid, et, val)
+        for eid, ts, uid, et, val in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+
+
+def test_sessionize_splits_on_gap_and_numbers_in_time_order(spark):
+    df = _events_df(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 00:10:00", 1, "click", 2.0),
+            # 40 min after event 2 → new session for user 1 (gap 30 min)
+            (3, "2024-01-01 00:50:00", 1, "view", 4.0),
+            (4, "2024-01-01 09:00:00", 2, "view", 8.0),
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in ev.sessionize(df, gap_seconds=1800).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["total_value"] == pytest.approx(3.0)
+    assert s11["end_us"] - s11["start_us"] == 600 * 1_000_000
+    assert got[(1, 2)]["n_events"] == 1
+    assert got[(2, 1)]["total_value"] == pytest.approx(8.0)
+
+
+def test_sessionize_gap_boundary_is_inclusive(spark):
+    # exactly gap_seconds apart → SAME session (strictly greater splits),
+    # matching the oracle's `> gap` predicate
+    df = _events_df(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 00:30:00", 1, "view", 1.0),
+            (3, "2024-01-01 01:00:00.000001", 1, "view", 1.0),  # 1 µs over
+        ],
+    )
+    got = sorted(
+        ev.sessionize(df, gap_seconds=1800).collect(),
+        key=lambda r: r["session_id"],
+    )
+    assert [r["n_events"] for r in got] == [2, 1]
+
+
+def test_rollup_hourly_counts_and_means(spark):
+    df = _events_df(
+        spark,
+        [
+            (1, "2024-01-01 00:05:00", 1, "view", 1.0),
+            (2, "2024-01-01 00:55:00", 2, "view", 3.0),
+            (3, "2024-01-01 00:20:00", 1, "click", 10.0),
+            (4, "2024-01-01 01:05:00", 1, "view", 5.0),
+        ],
+    )
+    got = {
+        (r["bucket_us"], r["event_type"]): r for r in ev.rollup(df, "hour").collect()
+    }
+    # NTZ epoch diff (timezone-independent) — not datetime.timestamp(),
+    # which would inject the local zone
+    epoch = datetime.fromisoformat("1970-01-01 00:00:00")
+    h0 = int(
+        (datetime.fromisoformat("2024-01-01 00:00:00") - epoch).total_seconds() * 1e6
+    )
+    h1 = h0 + 3600 * 1_000_000
+    assert got[(h0, "view")]["n_events"] == 2
+    assert got[(h0, "view")]["n_users"] == 2
+    assert got[(h0, "view")]["sum_value"] == pytest.approx(4.0)
+    assert got[(h0, "view")]["avg_value"] == pytest.approx(2.0)
+    assert got[(h0, "click")]["n_events"] == 1
+    assert got[(h1, "view")]["n_events"] == 1
+    assert got[(h1, "view")]["avg_value"] == pytest.approx(5.0)

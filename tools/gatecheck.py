@@ -76,5 +76,6 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # query names: any mix of comma- and space-separated trailing args
+    only = [n for arg in sys.argv[2:] for n in arg.split(",") if n] or None
     sys.exit(1 if main(sf, only) else 0)

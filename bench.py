@@ -36,8 +36,11 @@ from linkgraph.graph import Graph  # noqa: E402
 from linkgraph.operators import (  # noqa: E402
     adamic_adar,
     bfs,
+    closeness_centrality,
+    effective_diameter,
     harmonic_centrality,
     hits,
+    neighborhood_function,
     label_propagation,
     local_clustering,
     pagerank,
@@ -291,6 +294,18 @@ def main() -> None:
         repeats=3,
     )
     timed(
+        "closeness8",
+        lambda: closeness_centrality(g, sources=list(range(8)))
+        .agg(F.sum("closeness"))
+        .collect(),
+        repeats=3,
+    )
+    timed(
+        "hyperanf",
+        lambda: neighborhood_function(g, max_h=16)[-1],
+        repeats=3,
+    )
+    timed(
         "clustering_coeff",
         lambda: local_clustering(g).agg(F.sum("lcc")).collect(),
         repeats=3,
@@ -352,6 +367,35 @@ def main() -> None:
             "triangles",
             lambda: triangle_count(bg).collect()[0]["triangles"],
         )
+        # round-4 extensions at plan-dominant scale: HITS ≈ 2x the PR
+        # join-agg per round; harmonic = 4 concurrent BFS in one frontier.
+        # adamic_adar is deliberately NOT here: on this graph (mean simple
+        # degree ~90) even max_center_degree=64 keeps ~10^9 wedges —
+        # measured 290 s standalone — and smaller caps keep almost no
+        # centers; its scale knob is exercised in test_centrality and its
+        # cost model (O(Σ_{d≤cap} d²) wedge rows) documented in linkpred.py
+        timed_big(
+            "hits5",
+            lambda: hits(bg, iterations=5)
+            .agg(F.sum("auth"), F.sum("hub"))
+            .collect(),
+            rounds=10,  # 5 iterations x 2 half-steps over all edges
+        )
+        timed_big(
+            "harmonic4",
+            lambda: harmonic_centrality(bg, sources=[0, 1, 2, 3])
+            .agg(F.sum("harmonic"))
+            .collect(),
+        )
+        # HyperANF effective diameter at 2^20 vertices: lg_k=8 keeps the
+        # sketch state at V x ~256 B ≈ 270 MB; rounds = effective
+        # diameter of the Zipf hub graph (single digits), one
+        # edges⋈state union-agg shuffle each
+        def _big_ed():
+            d, curve = effective_diameter(bg, alpha=0.9, max_h=32, lg_config_k=8)
+            extras["big_effective_diameter"] = round(d, 2)
+            extras["big_hyperanf_rounds"] = len(curve) - 1
+        timed_big("hyperanf_ed", _big_ed)  # true round count lands in extras
 
         # ------------- big corpus: docs operators at plan-dominant scale
         from linkgraph import docs as docmod

@@ -13,11 +13,18 @@ Recurrence (Kleinberg, JACM 1999):
 with L2 normalization after each half-step and h_0 = 1.
 
 Spark shape: each half-step is ONE edges⋈state join + groupBy aggregate
-(the exact PageRank push shape, pagerank.py), and the L2 norm is a lazy
-1-row aggregate crossJoined back in (broadcast by Catalyst) — no driver
-action per iteration except the plan-truncating checkpoint. The edge
-DataFrame is the persisted build-time layout; only the O(V) state
-shuffles per iteration, exactly the scale contract of the PR loop.
+(the exact PageRank push shape, pagerank.py) over a SPARSE score frame —
+vertices whose raw sum is 0 are simply absent; they contribute nothing
+to the next join or to the L2 norm, so the dense full-vertex-set view is
+joined in exactly once, at the end. The norm is a lazy 1-row aggregate
+crossJoined back in (broadcast), not a driver action.
+
+The raw half-step aggregate FANS OUT (the norm aggregate AND the
+normalize projection both consume it), so it is eagerly checkpointed
+first — Catalyst re-executes unshared subplans per consumer, and the
+first cut of this operator paid that join-agg twice per half-step plus
+once more through the iteration-state join (194 s for 5 rounds on the
+50M-edge bench graph vs ~90 s restructured; the dedup_clusters lesson).
 """
 
 from __future__ import annotations
@@ -28,49 +35,44 @@ from pyspark.sql import functions as F
 from linkgraph.graph import Graph
 
 
-def _normalized(raw: DataFrame, vertices: DataFrame, col: str) -> DataFrame:
-    """Full-vertex-set L2-normalized score: missing ids → 0, then divide
-    by the global L2 norm (a lazy 1-row agg, broadcast via crossJoin —
-    the reciprocity pattern, stats.py)."""
+def _l2_normalized(raw: DataFrame, col: str) -> DataFrame:
+    """(id, <col>) = raw s / global L2 norm — raw must already be
+    materialized (checkpointed): both consumers re-read it, not its
+    lineage. Lazy 1-row agg crossJoin, the reciprocity pattern."""
     nrm = raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
-    return (
-        vertices.join(raw, vertices["id"] == raw["rid"], "left")
-        .crossJoin(F.broadcast(nrm))
-        .select(
-            "id",
-            (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("nrm")).alias(col),
-        )
+    return raw.crossJoin(F.broadcast(nrm)).select(
+        F.col("rid").alias("id"), (F.col("s") / F.col("nrm")).alias(col)
     )
 
 
 def hits(graph: Graph, iterations: int = 5) -> DataFrame:
     """(id, auth, hub) over the full vertex set after ``iterations``
-    rounds, each L2-normalized. Isolated vertices score 0 on both axes.
-
-    One eager checkpoint per iteration bounds the Catalyst plan depth
-    (chained join-agg analysis is superlinear — the measured pagerank
-    unroll pathology, pagerank.py); at 2 joins + 2 norms per round the
-    5-round default would otherwise analyze a ~20-join tree.
-    """
+    rounds, each L2-normalized. Isolated vertices score 0 on both axes."""
     edges = graph.edges.select("src", "dst")
     vertices = graph.vertices()
     hub = vertices.select("id", F.lit(1.0).alias("hub"))
-    auth = vertices.select("id", F.lit(0.0).alias("auth"))
-    state = vertices.select("id", F.lit(0.0).alias("auth"), F.lit(1.0).alias("hub"))
+    auth = graph.spark.createDataFrame([], "id long, auth double")
     for _ in range(iterations):
         a_raw = (
             edges.join(hub, edges["src"] == hub["id"])
             .groupBy(F.col("dst").alias("rid"))
             .agg(F.sum("hub").alias("s"))
+            .localCheckpoint(eager=True)  # fan-out: norm agg + projection
         )
-        auth = _normalized(a_raw, vertices, "auth")
+        auth = _l2_normalized(a_raw, "auth")
         h_raw = (
             edges.join(auth, edges["dst"] == auth["id"])
             .groupBy(F.col("src").alias("rid"))
             .agg(F.sum("auth").alias("s"))
+            .localCheckpoint(eager=True)
         )
-        hub = _normalized(h_raw, vertices, "hub")
-        state = auth.join(hub, "id").localCheckpoint(eager=True)
-        auth = state.select("id", "auth")
-        hub = state.select("id", "hub")
-    return state.select("id", "auth", "hub")
+        hub = _l2_normalized(h_raw, "hub")
+    return (
+        vertices.join(auth, "id", "left")
+        .join(hub, "id", "left")
+        .select(
+            "id",
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )

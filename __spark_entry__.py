@@ -361,6 +361,35 @@ def _q_harmonic8(spark, sf_dir):
     return harmonic_centrality(_graph(spark, sf_dir), sources=list(range(8)))
 
 
+def _q_closeness8(spark, sf_dir):
+    """Seeded closeness centrality from sources 0-7 (round 4) — the
+    reached/sum-dist tail on the same one-job-per-level MS-BFS."""
+    from linkgraph.operators import closeness_centrality
+
+    return closeness_centrality(_graph(spark, sf_dir), sources=list(range(8)))
+
+
+def _q_neighborhood6(spark, sf_dir):
+    """Exact neighborhood function N(h), h in [0,6] (round 4) — all-
+    sources MS-BFS; the value-checked twin of the HyperANF estimator."""
+    from linkgraph.operators import neighborhood_function_exact
+
+    return neighborhood_function_exact(_graph(spark, sf_dir), max_h=6)
+
+
+def _q_hyperanf(spark, sf_dir):
+    """HyperANF neighborhood-function curve (round 4) — HLL-sketch-per-
+    vertex estimator (Boldi-Rosa-Vigna WWW'11), the 100 TB path the
+    exact `neighborhood6` gate query validates at small scale. Estimates
+    are engine-specific (Datasketches HLL), so this entry is rows-only;
+    test_centrality pins the curve to the exact one within sketch
+    tolerance."""
+    from linkgraph.operators import neighborhood_function
+
+    curve = neighborhood_function(_graph(spark, sf_dir), max_h=16)
+    return spark.createDataFrame(curve, "h long, nf_est double")
+
+
 def _q_sessionize(spark, sf_dir):
     """Batch gap-sessionization of the events table (round 4) — the
     batch twin of streaming.stream_sessionize; single user_id shuffle."""
@@ -425,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering_coeff,
         "adamic_adar": _q_adamic_adar,
         "harmonic8": _q_harmonic8,
+        "closeness8": _q_closeness8,
+        "neighborhood6": _q_neighborhood6,
+        "hyperanf": _q_hyperanf,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -483,6 +515,10 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": osql.clustering_coeff_sql(),
         "adamic_adar": osql.adamic_adar_sql(top_k=50),
         "harmonic8": osql.harmonic_sql(list(range(8))),
+        "closeness8": osql.closeness_sql(list(range(8))),
+        "neighborhood6": osql.neighborhood_sql(max_h=6),
+        # "hyperanf" deliberately has NO oracle: HLL estimates are
+        # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),
         "events_rollup": osql.events_rollup_sql(bucket="hour"),
     }

@@ -6,8 +6,17 @@ Catalyst-planned job: ``edges.join(state, 'src').groupBy('dst').agg(...)``
 merged back into the vertex-state DataFrame.
 """
 
+from linkgraph.operators.anf import (
+    effective_diameter,
+    neighborhood_function,
+    neighborhood_function_exact,
+)
 from linkgraph.operators.bfs import bfs
-from linkgraph.operators.harmonic import harmonic_centrality, multi_source_bfs
+from linkgraph.operators.harmonic import (
+    closeness_centrality,
+    harmonic_centrality,
+    multi_source_bfs,
+)
 from linkgraph.operators.hits import hits
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
@@ -26,7 +35,11 @@ from linkgraph.operators.wcc import wcc
 __all__ = [
     "bfs",
     "multi_source_bfs",
+    "closeness_centrality",
     "harmonic_centrality",
+    "neighborhood_function",
+    "neighborhood_function_exact",
+    "effective_diameter",
     "hits",
     "k_core",
     "coreness",

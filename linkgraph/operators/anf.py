@@ -1,0 +1,109 @@
+"""Neighborhood function + effective diameter — exact and HyperANF.
+
+The neighborhood function N(h) = #{(u,v) : d(u,v) <= h} (self pairs
+included, d=0) is the standard whole-graph distance summary for web-scale
+link graphs; alpha-effective diameter is the interpolated h at which
+N(h) reaches alpha * N(inf). Not a reference kernel, but the canonical
+consumer of the reference's BFS machinery (bfs_simple.c) at "all sources
+at once" scale — nobody runs V BFS traversals on a web graph, so the
+production estimator is HyperANF (Boldi, Rosa & Vigna, WWW 2011): one
+HyperLogLog sketch per vertex approximating its ball |B(v, h)|, advanced
+by one edges-join-union per hop.
+
+Spark shape (HyperANF): state is (id, sketch) with sketch a Datasketches
+HLL binary of 2^lg_config_k registers — O(V * 2^lg_k) bytes total state,
+independent of E and of h. One round = ONE edges join state shuffle +
+groupBy(id) hll_union_agg (map-side partial union: HLL union is
+commutative-idempotent, so the combine runs JVM-side before the
+exchange), then a 1-row sum(hll_sketch_estimate) action that doubles as
+the round's materializing action (lazy-checkpoint pattern, bfs.py).
+Rounds = effective diameter = O(log V) on web graphs. All JVM built-ins
+(pyspark.sql.functions.hll_*) — no Python in the loop.
+
+The exact variant rides multi_source_bfs (harmonic.py) from ALL vertices
+— O(V^2) pair state, gate/test scale only — and is the DuckDB-matched
+oracle surface; HyperANF is the 100 TB path, tested against the exact
+curve at a relative-error tolerance set by its register count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.operators.harmonic import multi_source_bfs
+
+
+def neighborhood_function_exact(graph: Graph, max_h: int = 8) -> DataFrame:
+    """(h, nf) for h in [0, max_h]: nf = exact #{(s,v): d(s,v) <= h},
+    via MS-BFS from every vertex. Pair state is O(V * avg-ball), so this
+    is the small-graph oracle twin of :func:`neighborhood_function`."""
+    n = graph.num_vertices
+    dists = multi_source_bfs(graph, range(n), max_iterations=max(64, max_h))
+    per_d = dists.groupBy("dist").agg(F.count(F.lit(1)).alias("c"))
+    hs = graph.spark.range(max_h + 1).select(F.col("id").alias("h"))
+    return (
+        hs.join(per_d, per_d["dist"] <= hs["h"], "left")
+        .groupBy("h")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("nf"))
+    )
+
+
+def neighborhood_function(
+    graph: Graph,
+    max_h: int = 64,
+    lg_config_k: int = 12,
+    rel_tol: float = 1e-4,
+) -> list[tuple[int, float]]:
+    """HyperANF: [(h, N_est(h))] until the curve saturates (relative
+    growth < ``rel_tol``) or ``max_h``. The returned curve is monotone
+    by construction (each ball only grows and HLL union is exact on
+    sketches). ``lg_config_k``: 2^k registers/vertex; relative standard
+    error ~= 1.04 / sqrt(2^k) (k=12 -> ~1.6%)."""
+    edges = graph.edges.select("src", "dst")
+    state = (
+        graph.vertices()
+        .groupBy("id")
+        .agg(F.hll_sketch_agg("id", lg_config_k).alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    curve: list[tuple[int, float]] = [
+        (0, float(graph.num_vertices))  # B(v,0) = {v}: N(0) = V exactly
+    ]
+    for h in range(1, max_h + 1):
+        contrib = edges.join(state, edges["dst"] == state["id"]).select(
+            edges["src"].alias("id"), "sk"
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint(eager=False)
+        )
+        nf = state.agg(
+            F.sum(F.hll_sketch_estimate("sk")).alias("nf")
+        ).collect()[0]["nf"]  # the round's single materializing action
+        prev = curve[-1][1]
+        curve.append((h, float(nf)))
+        if nf <= prev * (1.0 + rel_tol):
+            break
+    return curve
+
+
+def effective_diameter(
+    graph: Graph,
+    alpha: float = 0.9,
+    max_h: int = 64,
+    lg_config_k: int = 12,
+) -> tuple[float, list[tuple[int, float]]]:
+    """(alpha-effective diameter, HyperANF curve): smallest interpolated
+    h with N(h) >= alpha * N(h_max), linear between integer hops (the
+    HyperANF paper's definition)."""
+    curve = neighborhood_function(graph, max_h=max_h, lg_config_k=lg_config_k)
+    target = alpha * curve[-1][1]
+    for (h0, n0), (h1, n1) in zip(curve, curve[1:]):
+        if n1 >= target:
+            frac = 0.0 if n1 == n0 else (target - n0) / (n1 - n0)
+            return (h0 + max(0.0, frac), curve)
+    return (float(curve[-1][0]), curve)

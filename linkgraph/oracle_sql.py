@@ -1124,6 +1124,60 @@ GROUP BY v.id
 """
 
 
+def closeness_sql(sources: list[int], max_depth: int = 64) -> str:
+    """Seeded closeness — the harmonic_sql walk with a count/sum tail
+    (reached seeds, reached/sum-dist), operators/harmonic.py
+    closeness_centrality. DuckDB ``/`` on integers is float division,
+    matching Spark's long/long -> double."""
+    seed_rows = ", ".join(f"({s}::BIGINT)" for s in sources)
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(source, id, dist) AS (
+    SELECT s.s AS source, s.s AS id, CAST(0 AS BIGINT) AS dist
+    FROM (VALUES {seed_rows}) s(s)
+    UNION
+    SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_depth}
+),
+md AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id),
+agg AS (
+    SELECT id, COUNT(*) AS reached, SUM(dist) AS sum_dist
+    FROM md WHERE dist > 0 GROUP BY id
+)
+SELECT v.id,
+       CAST(COALESCE(a.reached, 0) AS BIGINT) AS reached,
+       ROUND(COALESCE(a.reached / a.sum_dist, 0.0), 6) AS closeness
+FROM vertices v LEFT JOIN agg a ON v.id = a.id
+"""
+
+
+def neighborhood_sql(max_h: int = 6) -> str:
+    """Exact neighborhood function N(h), h in [0, max_h] — all-sources
+    walk CAPPED at dist < max_h (the cap bounds the cyclic-walk blowup:
+    every shortest path of length d <= max_h survives the cap, so the
+    MIN over enumerated paths is the true distance for every pair that
+    counts toward any reported h). Twin of
+    operators/anf.py neighborhood_function_exact."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(source, id, dist) AS (
+    SELECT v.id AS source, v.id AS id, CAST(0 AS BIGINT) AS dist
+    FROM vertices v
+    UNION
+    SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_h}
+),
+md AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id),
+per_d AS (SELECT dist, COUNT(*) AS c FROM md GROUP BY dist),
+hs AS (SELECT CAST(range AS BIGINT) AS h FROM range({max_h} + 1))
+SELECT hs.h AS h, CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS nf
+FROM hs LEFT JOIN per_d p ON p.dist <= hs.h
+GROUP BY hs.h
+"""
+
+
 # ------------------------------------------------------------------ events
 def sessionize_sql(gap_seconds: int = 1800) -> str:
     """DuckDB twin of events.sessionize — identical (ts, event_id)

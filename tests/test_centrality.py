@@ -11,10 +11,14 @@ import pytest
 
 from linkgraph.operators import (
     adamic_adar,
+    closeness_centrality,
+    effective_diameter,
     harmonic_centrality,
     hits,
     local_clustering,
     multi_source_bfs,
+    neighborhood_function,
+    neighborhood_function_exact,
 )
 from tests.conftest import chain_edges, make_graph, two_cliques_edges, zipf_edges
 
@@ -161,4 +165,75 @@ def test_harmonic_chain_closed_form(spark):
         if v > 1:
             want += 1 / (v - 1)  # from source 1
         assert got[v] == pytest.approx(round(want, 6), abs=1e-6)
+    g.unpersist()
+
+
+def test_closeness_chain_closed_form(spark):
+    edges, n = chain_edges(8)  # 0→1→…→7
+    g = make_graph(spark, edges, n)
+    got = {r["id"]: r for r in closeness_centrality(g, [0, 1]).collect()}
+    for v in range(n):
+        dists = [d for d in (v, v - 1) if d > 0]  # d(0,v)=v, d(1,v)=v-1
+        assert got[v]["reached"] == len(dists)
+        want = len(dists) / sum(dists) if dists else 0.0
+        assert got[v]["closeness"] == pytest.approx(round(want, 6), abs=1e-6)
+    g.unpersist()
+
+
+def test_closeness_matches_numpy_bfs(spark):
+    edges, n = zipf_edges(n=300, m=1500)
+    g = make_graph(spark, edges, n)
+    sources = [0, 1, 2, 3, 4]
+    got = {r["id"]: r for r in closeness_centrality(g, sources).collect()}
+    dist = {s: _bfs_dists_numpy(edges, n, s) for s in sources}
+    for v in range(n):
+        ds = [dist[s][v] for s in sources if dist[s][v] > 0]
+        assert got[v]["reached"] == len(ds)
+        want = len(ds) / sum(ds) if ds else 0.0
+        assert got[v]["closeness"] == pytest.approx(round(want, 6), abs=1e-6)
+    g.unpersist()
+
+
+def _exact_nf_numpy(edges: np.ndarray, n: int, max_h: int) -> list[int]:
+    per_pair = []
+    for s in range(n):
+        d = _bfs_dists_numpy(edges, n, s)
+        per_pair.extend(d[d >= 0].tolist())
+    arr = np.array(per_pair)
+    return [int((arr <= h).sum()) for h in range(max_h + 1)]
+
+
+def test_neighborhood_function_exact_matches_numpy(spark):
+    edges, n = zipf_edges(n=120, m=700)
+    g = make_graph(spark, edges, n)
+    got = {r["h"]: r["nf"] for r in neighborhood_function_exact(g, max_h=6).collect()}
+    want = _exact_nf_numpy(edges, n, 6)
+    assert [got[h] for h in range(7)] == want
+    g.unpersist()
+
+
+def test_hyperanf_tracks_exact_curve(spark):
+    # lg_config_k=12 → rsd ≈ 1.6% per-vertex; summed estimates are far
+    # tighter — assert each curve point within 5% of the exact N(h)
+    edges, n = zipf_edges(n=400, m=3000)
+    g = make_graph(spark, edges, n)
+    curve = dict(neighborhood_function(g, max_h=8, lg_config_k=12))
+    want = _exact_nf_numpy(edges, n, 8)
+    assert curve[0] == float(n)  # N(0) is exact by construction
+    prev = 0.0
+    for h in sorted(curve):
+        assert curve[h] == pytest.approx(want[h], rel=0.05)
+        assert curve[h] >= prev  # monotone: balls only grow
+        prev = curve[h]
+    g.unpersist()
+
+
+def test_effective_diameter_chain(spark):
+    # directed chain 0→…→9: N(h) = sum over v of |B(v,h)| saturates at
+    # h=9; the 0.9-effective diameter must land strictly inside (0, 9]
+    edges, n = chain_edges(10)
+    g = make_graph(spark, edges, n)
+    d_eff, curve = effective_diameter(g, alpha=0.9, max_h=16, lg_config_k=12)
+    assert 0.0 < d_eff <= 9.0
+    assert curve[-1][0] <= 10  # saturation detected, not run to max_h
     g.unpersist()

@@ -390,6 +390,16 @@ def _q_hyperanf(spark, sf_dir):
     return spark.createDataFrame(curve, "h long, nf_est double")
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (round 4) — FW-BW-Trim coloring,
+    the directed sibling of wcc (web-graph bowtie decomposition). Label
+    = min vertex id in the SCC, matched by the oracle's MIN over the
+    mutual-reachability relation."""
+    from linkgraph.operators import scc
+
+    return scc(_graph(spark, sf_dir))
+
+
 def _q_sessionize(spark, sf_dir):
     """Batch gap-sessionization of the events table (round 4) — the
     batch twin of streaming.stream_sessionize; single user_id shuffle."""
@@ -457,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness8": _q_closeness8,
         "neighborhood6": _q_neighborhood6,
         "hyperanf": _q_hyperanf,
+        "scc": _q_scc,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -517,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic8": osql.harmonic_sql(list(range(8))),
         "closeness8": osql.closeness_sql(list(range(8))),
         "neighborhood6": osql.neighborhood_sql(max_h=6),
+        "scc": osql.scc_sql(),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

@@ -44,6 +44,7 @@ from linkgraph.operators import (  # noqa: E402
     label_propagation,
     local_clustering,
     pagerank,
+    scc,
     spmv,
     sssp,
     triangle_count,
@@ -303,6 +304,11 @@ def main() -> None:
     timed(
         "hyperanf",
         lambda: neighborhood_function(g, max_h=16)[-1],
+        repeats=3,
+    )
+    timed(
+        "scc",
+        lambda: scc(g).agg(F.sum("scc")).collect(),
         repeats=3,
     )
     timed(

@@ -22,6 +22,7 @@ from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
+from linkgraph.operators.scc import scc, scc_census
 from linkgraph.operators.spmv import spmv
 from linkgraph.operators.stats import (
     degree_assortativity,
@@ -48,6 +49,8 @@ __all__ = [
     "pagerank",
     "spmv",
     "sssp",
+    "scc",
+    "scc_census",
     "triangle_count",
     "triangles_per_vertex",
     "personalized_pagerank",

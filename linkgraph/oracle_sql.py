@@ -1178,6 +1178,24 @@ GROUP BY hs.h
 """
 
 
+def scc_sql() -> str:
+    """Strongly connected components by definition: scc(v) = MIN u with
+    u→*v AND v→*u (self included) over the full reachability relation —
+    the semantic spec operators/scc.py's FW-BW-Trim coloring must meet.
+    O(V^2) pair state; gate scale only (V=2048)."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+reach(source, id) AS (
+    SELECT v.id AS source, v.id AS id FROM vertices v
+    UNION
+    SELECT r.source, e.dst AS id FROM edges e JOIN reach r ON e.src = r.id
+)
+SELECT r1.id AS id, CAST(MIN(r1.source) AS BIGINT) AS scc
+FROM reach r1 JOIN reach r2 ON r1.id = r2.source AND r1.source = r2.id
+GROUP BY r1.id
+"""
+
+
 # ------------------------------------------------------------------ events
 def sessionize_sql(gap_seconds: int = 1800) -> str:
     """DuckDB twin of events.sessionize — identical (ts, event_id)

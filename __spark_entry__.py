@@ -400,6 +400,15 @@ def _q_scc(spark, sf_dir):
     return scc(_graph(spark, sf_dir))
 
 
+def _q_walks4(spark, sf_dir):
+    """Deterministic random-walk corpus (round 4) — DeepWalk-style
+    sentences via hash-argmin next-hop; 2 walks/vertex, 4 hops. Every
+    step value-checks against the unrolled QUALIFY-argmin oracle."""
+    from linkgraph.operators import random_walks
+
+    return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+
+
 def _q_sessionize(spark, sf_dir):
     """Batch gap-sessionization of the events table (round 4) — the
     batch twin of streaming.stream_sessionize; single user_id shuffle."""
@@ -468,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood6": _q_neighborhood6,
         "hyperanf": _q_hyperanf,
         "scc": _q_scc,
+        "walks4": _q_walks4,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -529,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness8": osql.closeness_sql(list(range(8))),
         "neighborhood6": osql.neighborhood_sql(max_h=6),
         "scc": osql.scc_sql(),
+        "walks4": osql.walks_sql(walk_length=4, walks_per_vertex=2),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

@@ -44,6 +44,7 @@ from linkgraph.operators import (  # noqa: E402
     label_propagation,
     local_clustering,
     pagerank,
+    random_walks,
     scc,
     spmv,
     sssp,
@@ -309,6 +310,13 @@ def main() -> None:
     timed(
         "scc",
         lambda: scc(g).agg(F.sum("scc")).collect(),
+        repeats=3,
+    )
+    timed(
+        "walks4",
+        lambda: random_walks(g, walk_length=4, walks_per_vertex=2)
+        .agg(F.sum("id"))
+        .collect(),
         repeats=3,
     )
     timed(

@@ -31,6 +31,7 @@ from linkgraph.operators.stats import (
 )
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
+from linkgraph.operators.walks import random_walks, walk_corpus
 from linkgraph.operators.wcc import wcc
 
 __all__ = [
@@ -57,5 +58,7 @@ __all__ = [
     "reciprocity",
     "local_clustering",
     "degree_assortativity",
+    "random_walks",
+    "walk_corpus",
     "wcc",
 ]

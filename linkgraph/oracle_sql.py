@@ -1178,6 +1178,34 @@ GROUP BY hs.h
 """
 
 
+def walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, seed: int = 42) -> str:
+    """Deterministic random walks — operators/walks.py random_walks
+    unrolled: step t picks the out-neighbor minimizing the md5-60 of
+    seed|walk_id|t|src|dst (tie: min dst), expressed as one CTE per step
+    with a QUALIFY ROW_NUMBER argmin (the kcore5 unrolled-CTE pattern)."""
+    k = walks_per_vertex
+    ctes = [
+        f"""s0 AS (
+    SELECT v.id * {k} + j.j AS walk_id, CAST(0 AS BIGINT) AS step, v.id AS id
+    FROM vertices v CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range({k})) j
+)"""
+    ]
+    for t in range(1, walk_length + 1):
+        h = _md5_60_duck(f"concat_ws('|', {seed}, s.walk_id, {t}, e.src, e.dst)")
+        ctes.append(
+            f"""s{t} AS (
+    SELECT walk_id, CAST({t} AS BIGINT) AS step, dst AS id
+    FROM (
+        SELECT s.walk_id, e.dst, {h} AS h
+        FROM s{t - 1} s JOIN edges e ON e.src = s.id
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY h, dst) = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{t}" for t in range(walk_length + 1))
+    return f"WITH {EDGES_SQL},\n" + ",\n".join(ctes) + f"\n{union}"
+
+
 def scc_sql() -> str:
     """Strongly connected components by definition: scc(v) = MIN u with
     u→*v AND v→*u (self included) over the full reachability relation —

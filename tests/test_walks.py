@@ -1,0 +1,95 @@
+"""Deterministic random walks — engine vs a hashlib replication.
+
+Pins operators/walks.py to its spec: next hop = out-neighbor minimizing
+the 60-bit md5 of seed|walk_id|step|src|dst (tie: min dst); dead ends
+terminate the walk early; walk_corpus reassembles step-ordered sentences.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from linkgraph.operators import random_walks, walk_corpus
+from tests.conftest import chain_edges, make_graph, zipf_edges
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _walks_py(
+    edges: np.ndarray, n: int, walk_length: int, k: int, seed: int
+) -> set[tuple[int, int, int]]:
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(int(s), set()).add(int(d))
+    rows = set()
+    for v in range(n):
+        for j in range(k):
+            wid, cur = v * k + j, v
+            rows.add((wid, 0, cur))
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs, key=lambda u: (_md5_60(f"{seed}|{wid}|{t}|{cur}|{u}"), u)
+                )
+                rows.add((wid, t, cur))
+    return rows
+
+
+def test_walks_match_hashlib_replication(spark):
+    edges, n = zipf_edges(n=150, m=900)
+    g = make_graph(spark, edges, n)
+    got = {
+        (r["walk_id"], r["step"], r["id"])
+        for r in random_walks(g, walk_length=4, walks_per_vertex=2, seed=7).collect()
+    }
+    assert got == _walks_py(edges, n, 4, 2, 7)
+    g.unpersist()
+
+
+def test_walks_dead_end_terminates_early(spark):
+    edges, n = chain_edges(5)  # 0→1→2→3→4; vertex 4 is a sink
+    g = make_graph(spark, edges, n)
+    rows = random_walks(g, walk_length=10, walks_per_vertex=1, seed=1).collect()
+    by_walk: dict[int, list] = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], []).append((r["step"], r["id"]))
+    # walk from v deterministically runs v→v+1→…→4 then stops
+    for v in range(n):
+        path = sorted(by_walk[v])
+        assert path == [(t, v + t) for t in range(n - v)]
+    g.unpersist()
+
+
+def test_walks_seed_changes_corpus(spark):
+    edges, n = zipf_edges(n=100, m=800)
+    g = make_graph(spark, edges, n)
+    a = {
+        (r["walk_id"], r["step"], r["id"])
+        for r in random_walks(g, walk_length=3, seed=1).collect()
+    }
+    b = {
+        (r["walk_id"], r["step"], r["id"])
+        for r in random_walks(g, walk_length=3, seed=2).collect()
+    }
+    assert a != b  # same starts (step 0) but different hops
+    assert {r for r in a if r[1] == 0} == {r for r in b if r[1] == 0}
+    g.unpersist()
+
+
+def test_walk_corpus_sentences_ordered(spark):
+    edges, n = zipf_edges(n=80, m=500)
+    g = make_graph(spark, edges, n)
+    w = random_walks(g, walk_length=4, walks_per_vertex=1, seed=3)
+    rows = {(r["walk_id"], r["step"]): r["id"] for r in w.collect()}
+    sents = {r["walk_id"]: list(r["sentence"]) for r in walk_corpus(w).collect()}
+    assert set(sents) == {wid for wid, _ in rows}
+    for wid, sent in sents.items():
+        assert sent == [rows[(wid, t)] for t in range(len(sent))]
+        assert sent[0] == wid  # walks_per_vertex=1: walk_id == start vertex
+    g.unpersist()

@@ -409,6 +409,26 @@ def _q_walks4(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
 
 
+def _q_modularity(spark, sf_dir):
+    """Newman modularity of the labelprop5 partition (round 4) — the
+    standard community-quality score; two label joins + one degree
+    aggregate, all map-side combinable."""
+    from linkgraph.operators import label_propagation, modularity
+
+    g = _graph(spark, sf_dir)
+    return modularity(g, label_propagation(g, iterations=5))
+
+
+def _q_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence pairs from the deterministic walk corpus
+    (round 4) — the DeepWalk training-pair stage; position pairs built
+    with nested array HOFs so the only shuffle is the final aggregate."""
+    from linkgraph.operators import random_walks, skipgram_pairs, walk_corpus
+
+    w = random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+    return skipgram_pairs(walk_corpus(w), window=2)
+
+
 def _q_sessionize(spark, sf_dir):
     """Batch gap-sessionization of the events table (round 4) — the
     batch twin of streaming.stream_sessionize; single user_id shuffle."""
@@ -478,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf": _q_hyperanf,
         "scc": _q_scc,
         "walks4": _q_walks4,
+        "modularity": _q_modularity,
+        "skipgrams": _q_skipgrams,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -540,6 +562,8 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood6": osql.neighborhood_sql(max_h=6),
         "scc": osql.scc_sql(),
         "walks4": osql.walks_sql(walk_length=4, walks_per_vertex=2),
+        "modularity": osql.modularity_sql(iterations=5),
+        "skipgrams": osql.skipgrams_sql(walk_length=4, walks_per_vertex=2, window=2),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

@@ -27,11 +27,12 @@ from linkgraph.operators.spmv import spmv
 from linkgraph.operators.stats import (
     degree_assortativity,
     local_clustering,
+    modularity,
     reciprocity,
 )
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
-from linkgraph.operators.walks import random_walks, walk_corpus
+from linkgraph.operators.walks import random_walks, skipgram_pairs, walk_corpus
 from linkgraph.operators.wcc import wcc
 
 __all__ = [
@@ -58,7 +59,9 @@ __all__ = [
     "reciprocity",
     "local_clustering",
     "degree_assortativity",
+    "modularity",
     "random_walks",
+    "skipgram_pairs",
     "walk_corpus",
     "wcc",
 ]

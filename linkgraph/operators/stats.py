@@ -68,6 +68,53 @@ def local_clustering(graph: Graph) -> DataFrame:
     )
 
 
+def modularity(graph: Graph, labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """One row (modularity: double): Newman modularity of the vertex
+    partition ``labels`` (id, ``label_col``) over the undirected simple
+    view of the graph —
+
+        Q = intra/m − Σ_c (d_c / 2m)²
+
+    with m the undirected simple edge count, intra the edges whose
+    endpoints share a label, and d_c the summed degree of community c.
+    THE community-quality number (Newman & Girvan 2004) — the standard
+    check after label propagation / Louvain that the partition is better
+    than chance (Q > 0). Plan: two label joins on the canonical edge set
+    (one aggregate for m + intra), one degree aggregate joined to labels
+    for Σ d_c² — all map-side-combinable; the final combine is a
+    broadcast join of two 1-row aggregates. Rounded to 6 dp."""
+    canon = graph.canonical_undirected_edges()
+    la = labels.select(F.col("id").alias("a"), F.col(label_col).alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col(label_col).alias("lb"))
+    mi = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias("intra"),
+        )
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    sq = (
+        deg.join(labels.select("id", F.col(label_col).alias("lbl")), "id")
+        .groupBy("lbl")
+        .agg(F.sum("d").alias("dsum"))
+        .agg(F.sum(F.col("dsum") * F.col("dsum")).alias("sq"))
+    )
+    return mi.crossJoin(sq).select(
+        F.round(
+            F.col("intra") / F.col("m").cast("double")
+            - F.col("sq") / (4.0 * F.col("m") * F.col("m")),
+            6,
+        ).alias("modularity")
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One row (assortativity: double): Pearson correlation, over directed
     edges, between the source's out-degree and the destination's

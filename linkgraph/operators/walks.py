@@ -92,3 +92,32 @@ def walk_corpus(walks: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("step", "id"))).alias("s"))
         .select("walk_id", F.col("s.id").alias("sentence"))
     )
+
+
+def skipgram_pairs(corpus: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs) — word2vec skip-gram training pairs from
+    the walk corpus: every ordered pair of sentence positions (i, j) with
+    j ≠ i and |i − j| ≤ ``window``, counted over all sentences. This is
+    the last dataflow stage before the embedding trainer (DeepWalk trains
+    word2vec on exactly these pairs); n_pairs is the co-occurrence weight
+    a count-based factorization (GloVe/PMI) would consume directly.
+
+    Plan shape: the position cross-product is built INSIDE the sentence
+    array with nested higher-order functions (O(L²) per sentence, L =
+    walk_length+1 — tiny and JVM-side), so the only shuffle is the final
+    (center, context) aggregate; no self-join of the corpus against
+    itself. Lambda variables are bound references (the Catalyst
+    no-hoisting pitfall from docs._shingle_stream does not bite here).
+    """
+    pair_expr = f"""
+    flatten(transform(sentence, (c, i) ->
+        transform(
+            filter(transform(sentence, (x, j) -> struct(x AS ctx, j AS pos)),
+                   s -> s.pos != i AND abs(s.pos - i) <= {int(window)}),
+            s -> struct(c AS center, s.ctx AS context))))
+    """
+    return (
+        corpus.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

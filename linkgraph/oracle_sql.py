@@ -131,7 +131,10 @@ SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id
 """
 
 
-def labelprop_sql(iterations: int = 5) -> str:
+def _labelprop_ctes(iterations: int) -> str:
+    """CTE body (sym, l0 … l{iterations}) for the synchronous
+    min-tiebreak label propagation — shared by labelprop_sql and
+    modularity_sql."""
     rounds = []
     for k in range(1, iterations + 1):
         rounds.append(
@@ -154,16 +157,53 @@ l{k} AS (
     LEFT JOIN win{k} w ON v.id = w.id
 )"""
         )
-    return f"""
-WITH {EDGES_SQL},
-sym AS (
+    return f"""sym AS (
     SELECT src, dst FROM edges
     UNION ALL
     SELECT dst AS src, src AS dst FROM edges
 ),
 l0 AS (SELECT id, id AS label FROM vertices),
-{",".join(rounds)}
+{",".join(rounds)}"""
+
+
+def labelprop_sql(iterations: int = 5) -> str:
+    return f"""
+WITH {EDGES_SQL},
+{_labelprop_ctes(iterations)}
 SELECT id, label FROM l{iterations}
+"""
+
+
+def modularity_sql(iterations: int = 5) -> str:
+    """DuckDB twin of operators.stats.modularity over the labelprop5
+    partition: Q = intra/m − Σ_c (d_c / 2m)² on the undirected simple
+    edge set."""
+    return f"""
+WITH {EDGES_SQL},
+{_labelprop_ctes(iterations)},
+lab AS MATERIALIZED (SELECT id, label FROM l{iterations}),
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+mi AS (
+    SELECT COUNT(*) AS m,
+           SUM(CASE WHEN x.label = y.label THEN 1 ELSE 0 END) AS intra
+    FROM canon c JOIN lab x ON c.a = x.id JOIN lab y ON c.b = y.id
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+    ) GROUP BY id
+),
+sq AS (
+    SELECT SUM(dsum * dsum) AS sq FROM (
+        SELECT x.label, SUM(g.d) AS dsum
+        FROM deg g JOIN lab x ON g.id = x.id GROUP BY x.label
+    )
+)
+SELECT ROUND(mi.intra * 1.0 / mi.m - sq.sq / (4.0 * mi.m * mi.m), 6) AS modularity
+FROM mi, sq
 """
 
 
@@ -1178,11 +1218,12 @@ GROUP BY hs.h
 """
 
 
-def walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, seed: int = 42) -> str:
-    """Deterministic random walks — operators/walks.py random_walks
-    unrolled: step t picks the out-neighbor minimizing the md5-60 of
-    seed|walk_id|t|src|dst (tie: min dst), expressed as one CTE per step
-    with a QUALIFY ROW_NUMBER argmin (the kcore5 unrolled-CTE pattern)."""
+def _walks_ctes(walk_length: int, walks_per_vertex: int, seed: int) -> tuple[str, str]:
+    """(cte_body, union_select) for the deterministic walk corpus —
+    operators/walks.py random_walks unrolled: step t picks the
+    out-neighbor minimizing the md5-60 of seed|walk_id|t|src|dst (tie:
+    min dst), one CTE per step with a QUALIFY ROW_NUMBER argmin (the
+    kcore5 unrolled-CTE pattern). Shared by walks_sql and skipgrams_sql."""
     k = walks_per_vertex
     ctes = [
         f"""s0 AS (
@@ -1203,7 +1244,36 @@ def walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, seed: int = 42) -
 )"""
         )
     union = "\nUNION ALL\n".join(f"SELECT * FROM s{t}" for t in range(walk_length + 1))
-    return f"WITH {EDGES_SQL},\n" + ",\n".join(ctes) + f"\n{union}"
+    return ",\n".join(ctes), union
+
+
+def walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, seed: int = 42) -> str:
+    """Deterministic random walks — see _walks_ctes."""
+    ctes, union = _walks_ctes(walk_length, walks_per_vertex, seed)
+    return f"WITH {EDGES_SQL},\n{ctes}\n{union}"
+
+
+def skipgrams_sql(
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    window: int = 2,
+) -> str:
+    """DuckDB twin of operators.walks.skipgram_pairs over the same
+    deterministic corpus: the within-sentence position pairs the engine
+    builds with nested array HOFs are exactly a self-join of the long-form
+    walk rows on walk_id with 0 < |Δstep| ≤ window."""
+    ctes, union = _walks_ctes(walk_length, walks_per_vertex, seed)
+    return f"""
+WITH {EDGES_SQL},
+{ctes},
+w AS MATERIALIZED ({union})
+SELECT a.id AS center, b.id AS context, COUNT(*) AS n_pairs
+FROM w a JOIN w b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= {int(window)}
+GROUP BY 1, 2
+"""
 
 
 def scc_sql() -> str:

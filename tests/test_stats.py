@@ -41,3 +41,56 @@ def test_assortativity_matches_numpy_corr(spark):
     want = np.corrcoef(outd[edges[:, 0]], ind[edges[:, 1]])[0, 1]
     assert got == pytest.approx(round(float(want), 6), abs=1e-6)
     g.unpersist()
+
+
+def test_modularity_two_planted_cliques(spark):
+    # two disjoint 4-cliques, labels = component: closed-form
+    # Q = 1 - sum((d_c/2m)^2) = 1 - 2*(1/2)^2 = 0.5
+    from linkgraph.operators import modularity
+
+    cliq = lambda off: [[off + i, off + j] for i in range(4) for j in range(4) if i < j]
+    edges = np.array(cliq(0) + cliq(4))
+    g = make_graph(spark, edges, 8)
+    labels = spark.createDataFrame(
+        [(i, i // 4) for i in range(8)], "id long, label long"
+    )
+    got = modularity(g, labels).collect()[0]["modularity"]
+    assert got == pytest.approx(0.5)
+    g.unpersist()
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: intra/m = 1, (2m/2m)^2 = 1 → Q = 0
+    from linkgraph.operators import modularity
+
+    edges, n = chain_edges(10)
+    g = make_graph(spark, edges, n)
+    labels = spark.createDataFrame([(i, 0) for i in range(n)], "id long, label long")
+    assert modularity(g, labels).collect()[0]["modularity"] == 0.0
+    g.unpersist()
+
+
+def test_modularity_random_labels_vs_numpy(spark):
+    # arbitrary labeling on an arbitrary graph vs a direct numpy evaluation
+    from linkgraph.operators import modularity
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 30, size=(200, 2))
+    g = make_graph(spark, raw, 30)
+    lab = rng.integers(0, 4, size=30)
+    labels = spark.createDataFrame(
+        [(i, int(lab[i])) for i in range(30)], "id long, label long"
+    )
+    # canonical undirected simple edges
+    canon = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    m = len(canon)
+    intra = sum(1 for a, b in canon if lab[a] == lab[b])
+    deg = np.zeros(30)
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    dsum = np.array([deg[lab == c].sum() for c in range(4)])
+    want = intra / m - float((dsum**2).sum()) / (4 * m * m)
+    got = modularity(g, labels).collect()[0]["modularity"]
+    assert got == pytest.approx(round(want, 6), abs=1e-6)
+    g.unpersist()

@@ -93,3 +93,37 @@ def test_walk_corpus_sentences_ordered(spark):
         assert sent == [rows[(wid, t)] for t in range(len(sent))]
         assert sent[0] == wid  # walks_per_vertex=1: walk_id == start vertex
     g.unpersist()
+
+
+def test_skipgram_pairs_match_python_replication(spark):
+    from linkgraph.operators import skipgram_pairs
+
+    edges, n = zipf_edges(n=120, m=700)
+    g = make_graph(spark, edges, n)
+    corpus = walk_corpus(random_walks(g, walk_length=4, walks_per_vertex=2, seed=7))
+    sents = [r["sentence"] for r in corpus.collect()]
+    want: dict[tuple[int, int], int] = {}
+    for s in sents:
+        for i, c in enumerate(s):
+            for j, x in enumerate(s):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(corpus, window=2).collect()
+    }
+    assert got == want
+    g.unpersist()
+
+
+def test_skipgram_window_one_is_adjacent_bigrams(spark):
+    from linkgraph.operators import skipgram_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, [1, 2, 3])], "walk_id long, sentence array<long>"
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(corpus, window=1).collect()
+    }
+    assert got == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}

@@ -409,6 +409,15 @@ def _q_walks4(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
 
 
+def _q_ktruss4(spark, sf_dir):
+    """4-truss edge subgraph with within-truss support (round 4) — the
+    edge analog of kcore5; support peeling to the cohesion fixpoint,
+    value-checked against an unrolled triple-join oracle."""
+    from linkgraph.operators import k_truss
+
+    return k_truss(_graph(spark, sf_dir), k=4)
+
+
 def _q_modularity(spark, sf_dir):
     """Newman modularity of the labelprop5 partition (round 4) — the
     standard community-quality score; two label joins + one degree
@@ -500,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks4": _q_walks4,
         "modularity": _q_modularity,
         "skipgrams": _q_skipgrams,
+        "ktruss4": _q_ktruss4,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -564,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "walks4": osql.walks_sql(walk_length=4, walks_per_vertex=2),
         "modularity": osql.modularity_sql(iterations=5),
         "skipgrams": osql.skipgrams_sql(walk_length=4, walks_per_vertex=2, window=2),
+        "ktruss4": osql.ktruss_sql(k=4, rounds=14),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

@@ -32,6 +32,7 @@ from linkgraph.operators.stats import (
 )
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
+from linkgraph.operators.truss import k_truss
 from linkgraph.operators.walks import random_walks, skipgram_pairs, walk_corpus
 from linkgraph.operators.wcc import wcc
 
@@ -45,6 +46,7 @@ __all__ = [
     "effective_diameter",
     "hits",
     "k_core",
+    "k_truss",
     "coreness",
     "label_propagation",
     "adamic_adar",

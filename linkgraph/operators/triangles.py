@@ -32,10 +32,15 @@ from linkgraph.graph import Graph
 
 
 def _oriented_edges(graph: Graph, degree_oriented: bool) -> DataFrame:
-    """Return the canonical a<b edge set plus an orientation (u → v) where
-    u precedes v in the chosen total order (id order, or (degree, id)
-    order), and a (lo, hi) = (a, b) pair for the closing semi-join."""
-    canon = graph.canonical_undirected_edges()  # (a < b), deduped
+    return _oriented_from_canon(graph.canonical_undirected_edges(), degree_oriented)
+
+
+def _oriented_from_canon(canon: DataFrame, degree_oriented: bool) -> DataFrame:
+    """Given a canonical a<b deduped edge set, return it plus an
+    orientation (u → v) where u precedes v in the chosen total order (id
+    order, or (degree, id) order), and the (a, b) pair for the closing
+    semi-join. Canon-level so subgraph passes (operators/truss.py peels
+    a shrinking edge set) reuse the same machinery."""
     if not degree_oriented:
         return canon.select(
             F.col("a").alias("u"), F.col("b").alias("v"), F.col("a"), F.col("b")
@@ -63,7 +68,15 @@ def _oriented_edges(graph: Graph, degree_oriented: bool) -> DataFrame:
 
 
 def _closed_wedges(graph: Graph, degree_oriented: bool) -> DataFrame:
-    e = _oriented_edges(graph, degree_oriented)
+    return _closed_wedges_from_canon(
+        graph.canonical_undirected_edges(), degree_oriented
+    )
+
+
+def _closed_wedges_from_canon(canon: DataFrame, degree_oriented: bool) -> DataFrame:
+    """Each triangle {x<y<z} of the canonical edge set exactly once, as
+    (u, v, w) in orientation order with (a, b) = (min(u,w), max(u,w))."""
+    e = _oriented_from_canon(canon, degree_oriented)
     out1 = e.select("u", "v")
     out2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
     wedges = out1.join(out2, "v").select(
@@ -73,8 +86,7 @@ def _closed_wedges(graph: Graph, degree_oriented: bool) -> DataFrame:
         F.least("u", "w").alias("a"),
         F.greatest("u", "w").alias("b"),
     )
-    closing = graph.canonical_undirected_edges()
-    return wedges.join(closing, ["a", "b"], "left_semi")
+    return wedges.join(canon, ["a", "b"], "left_semi")
 
 
 def triangle_count(

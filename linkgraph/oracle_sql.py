@@ -638,6 +638,69 @@ SELECT src AS id, COUNT(*) AS core_deg FROM e{rounds} GROUP BY src
 """
 
 
+def ktruss_sql(k: int = 4, rounds: int = 14) -> str:
+    """DuckDB twin of operators.truss.k_truss: ``rounds`` unrolled support
+    peel rounds. Each round lists triangles over the alive canonical edge
+    set (a<b<c triple join), credits each to its three edges, and keeps
+    edges with support ≥ k−2 (a LEFT join so zero-support edges peel too).
+    Rounds past the fixpoint are no-ops, so any ``rounds`` ≥ the true
+    peel depth is exact — measured depth is 4 (sf0.001) / 11 (sf0.01) at
+    k=4; 14 leaves margin, and the ENGINE runs to an actual fixpoint and
+    raises if it fails to converge, so a deeper-peeling gate graph would
+    fail loudly, not silently."""
+    parts = [
+        """a0 AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+)"""
+    ]
+    for r in range(rounds):
+        # AS MATERIALIZED: each round references the previous alive set
+        # four times (3 triangle sides + the left join) — inlining would
+        # re-evaluate the chain 4^rounds times
+        parts.append(
+            f"""t{r} AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM a{r} e1 JOIN a{r} e2 ON e1.b = e2.a
+    JOIN a{r} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s{r} AS MATERIALIZED (
+    SELECT a, b, COUNT(*) AS sup FROM (
+        SELECT x AS a, y AS b FROM t{r}
+        UNION ALL SELECT y AS a, z AS b FROM t{r}
+        UNION ALL SELECT x AS a, z AS b FROM t{r}
+    ) GROUP BY a, b
+),
+a{r + 1} AS MATERIALIZED (
+    SELECT e.a, e.b FROM a{r} e
+    LEFT JOIN s{r} s ON e.a = s.a AND e.b = s.b
+    WHERE COALESCE(s.sup, 0) >= {k - 2}
+)"""
+        )
+    # one final support pass over the fixpoint for the output column
+    parts.append(
+        f"""tf AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM a{rounds} e1 JOIN a{rounds} e2 ON e1.b = e2.a
+    JOIN a{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sf AS (
+    SELECT a, b, COUNT(*) AS sup FROM (
+        SELECT x AS a, y AS b FROM tf
+        UNION ALL SELECT y AS a, z AS b FROM tf
+        UNION ALL SELECT x AS a, z AS b FROM tf
+    ) GROUP BY a, b
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT e.a, e.b, COALESCE(s.sup, 0) AS support
+FROM a{rounds} e LEFT JOIN sf s ON e.a = s.a AND e.b = s.b
+"""
+
+
 def coreness_sql(rounds: int = 30) -> str:
     """DuckDB twin of operators.kcore.coreness: ``rounds`` unrolled
     H-index iterations from the degree vector (each a neighbor join +

@@ -1,0 +1,75 @@
+"""k-truss vs closed-form fixtures and a brute-force peeling replication."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from linkgraph.operators import k_truss
+from tests.conftest import chain_edges, make_graph, zipf_edges
+
+
+def _truss_py(edges: np.ndarray, k: int) -> dict[tuple[int, int], int]:
+    """Reference peeling: canonical simple edges, iteratively drop edges
+    with in-subgraph support < k-2; return {edge: final support}."""
+    alive = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in edges if a != b}
+
+    def support(es: set[tuple[int, int]]) -> dict[tuple[int, int], int]:
+        adj: dict[int, set[int]] = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    while True:
+        sup = support(alive)
+        nxt = {e for e in alive if sup[e] >= k - 2}
+        if nxt == alive:
+            return {e: sup[e] for e in alive}
+        alive = nxt
+
+
+def test_ktruss_clique_plus_tail(spark):
+    # 5-clique: every edge has support 3 → survives k=4,5; chain tail peels
+    cliq = [(i, j) for i in range(5) for j in range(5) if i < j]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    edges = np.array(cliq + tail)
+    g = make_graph(spark, edges, 8)
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=4).collect()}
+    assert got == {e: 3 for e in cliq}
+    g.unpersist()
+
+
+def test_ktruss_no_truss_is_empty(spark):
+    edges, n = chain_edges(10)  # triangle-free
+    g = make_graph(spark, edges, n)
+    out = k_truss(g, k=3)
+    assert out.count() == 0
+    assert out.columns == ["a", "b", "support"]
+    g.unpersist()
+
+
+def test_ktruss_k2_keeps_all_canonical_edges(spark):
+    edges, n = chain_edges(6)
+    g = make_graph(spark, edges, n)
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=2).collect()}
+    assert got == {(i, i + 1): 0 for i in range(5)}
+    g.unpersist()
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_matches_bruteforce_peeling(spark, k):
+    edges, n = zipf_edges(n=120, m=900)
+    g = make_graph(spark, edges, n)
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=k).collect()}
+    assert got == _truss_py(edges, k)
+    g.unpersist()
+
+
+def test_ktruss_orientation_invariant(spark):
+    edges, n = zipf_edges(n=80, m=500)
+    g = make_graph(spark, edges, n)
+    a = sorted(map(tuple, k_truss(g, k=4, degree_oriented=True).collect()))
+    b = sorted(map(tuple, k_truss(g, k=4, degree_oriented=False).collect()))
+    assert a == b
+    g.unpersist()

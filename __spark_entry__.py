@@ -409,6 +409,13 @@ def _q_walks4(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
 
 
+def _q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (round 4) — salient-term
+    extraction for the corpus pipeline; tfidf rounded to 6 dp before the
+    per-doc ranking so both engines agree at the k boundary."""
+    return docs.tf_idf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
 def _q_ktruss4(spark, sf_dir):
     """4-truss edge subgraph with within-truss support (round 4) — the
     edge analog of kcore5; support peeling to the cohesion fixpoint,
@@ -510,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": _q_modularity,
         "skipgrams": _q_skipgrams,
         "ktruss4": _q_ktruss4,
+        "tfidf": _q_tfidf,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -575,6 +583,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity": osql.modularity_sql(iterations=5),
         "skipgrams": osql.skipgrams_sql(walk_length=4, walks_per_vertex=2, window=2),
         "ktruss4": osql.ktruss_sql(k=4, rounds=14),
+        "tfidf": osql.tfidf_sql(top_k=3),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

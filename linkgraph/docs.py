@@ -676,6 +676,44 @@ def quality_filter(
     return s.select("doc_id", keep.alias("keep"))
 
 
+def tf_idf_top_terms(documents: DataFrame, top_k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, tfidf) — the ``top_k`` highest-TF-IDF whitespace
+    terms per document: tf = in-doc term count, idf = ln(N / df) with N
+    the corpus size and df the term's document frequency, tfidf rounded
+    to 6 dp BEFORE the ranking so the (tfidf DESC, term ASC) order is
+    identical across engines (an unrounded sort could flip the k-boundary
+    on a last-ulp ln() difference). The standard keyword/topic-signal
+    stage of a corpus pipeline (salient-term extraction, near-dup triage,
+    retrieval features).
+
+    Plan shape: one explode + (doc_id, term) aggregate (map-side
+    combinable), a term-keyed df aggregate REUSING that result (no second
+    corpus scan), a broadcast 1-row N, and a per-doc window top-k — three
+    shuffles total, all on bounded keys; nothing driver-side."""
+    toks = documents.select(
+        "doc_id", F.explode(F.expr(_TOKENIZE)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = documents.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
 def sample_documents(
     documents: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id"
 ) -> DataFrame:

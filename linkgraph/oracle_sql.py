@@ -420,6 +420,32 @@ FROM stats
 """
 
 
+def tfidf_sql(top_k: int = 5) -> str:
+    """DuckDB twin of docs.tf_idf_top_terms: same whitespace tokenizer
+    (the token_stats twin), tf·ln(N/df) rounded to 6 dp BEFORE the
+    QUALIFY ranking so the k-boundary order matches the engine exactly."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT t.doc_id, t.term, t.tf,
+       ROUND(t.tf * LN(n.n * 1.0 / d.df), 6) AS tfidf
+FROM tf t JOIN dfreq d ON t.term = d.term, n
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY t.doc_id
+    ORDER BY ROUND(t.tf * LN(n.n * 1.0 / d.df), 6) DESC, t.term ASC
+) <= {int(top_k)}
+"""
+
+
 def docs_sample_sql(rate: float = 0.25, seed: int = 42) -> str:
     """DuckDB twin of docs.sample_documents — same md5-60 threshold on
     the same salt string, so the selected set is identical by

@@ -833,3 +833,41 @@ def test_remove_repeated_spans_xxhash_fast_path(spark):
             ).collect()
         }
         assert md5 == xx
+
+
+def test_tfidf_top_terms_closed_form(spark):
+    # 3 docs; "apple" in 1 doc (idf=ln 3), "boat" in 2 (ln 1.5), "cat" in all (0)
+    import math
+
+    from linkgraph.docs import tf_idf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (0, "apple apple boat cat"),
+            (1, "boat cat cat"),
+            (2, "cat"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in tf_idf_top_terms(d, top_k=2).collect()
+    }
+    ln3, ln15 = math.log(3), math.log(1.5)
+    assert got[(0, "apple")] == (2, round(2 * ln3, 6))
+    assert got[(0, "boat")] == (1, round(ln15, 6))
+    assert got[(1, "boat")] == (1, round(ln15, 6))
+    assert got[(1, "cat")] == (2, 0.0)
+    assert got[(2, "cat")] == (1, 0.0)
+    assert len(got) == 5  # doc 2 has only one term
+
+
+def test_tfidf_tie_breaks_by_term_and_caps_k(spark):
+    from linkgraph.docs import tf_idf_top_terms
+
+    d = spark.createDataFrame(
+        [(0, "zz yy xx"), (1, "other words")], "doc_id long, text string"
+    )
+    # all three doc-0 terms have tf=1, df=1 → identical tfidf; term ASC wins
+    rows = tf_idf_top_terms(d, top_k=2).filter("doc_id = 0").collect()
+    assert sorted(r["term"] for r in rows) == ["xx", "yy"]

@@ -409,6 +409,15 @@ def _q_walks4(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
 
 
+def _q_betweenness8(spark, sf_dir):
+    """Seeded Brandes betweenness from sources 0-7 (round 4) — σ rides
+    the MS-BFS level aggregate, δ walks the strata backward; exact vs an
+    unrolled forward/backward DAG oracle."""
+    from linkgraph.operators import betweenness
+
+    return betweenness(_graph(spark, sf_dir), sources=list(range(8)))
+
+
 def _q_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (round 4) — salient-term
     extraction for the corpus pipeline; tfidf rounded to 6 dp before the
@@ -518,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgrams": _q_skipgrams,
         "ktruss4": _q_ktruss4,
         "tfidf": _q_tfidf,
+        "betweenness8": _q_betweenness8,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -584,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgrams": osql.skipgrams_sql(walk_length=4, walks_per_vertex=2, window=2),
         "ktruss4": osql.ktruss_sql(k=4, rounds=14),
         "tfidf": osql.tfidf_sql(top_k=3),
+        "betweenness8": osql.betweenness_sql(list(range(8)), levels=8),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

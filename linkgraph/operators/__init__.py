@@ -11,6 +11,7 @@ from linkgraph.operators.anf import (
     neighborhood_function,
     neighborhood_function_exact,
 )
+from linkgraph.operators.betweenness import betweenness
 from linkgraph.operators.bfs import bfs
 from linkgraph.operators.harmonic import (
     closeness_centrality,
@@ -38,6 +39,7 @@ from linkgraph.operators.wcc import wcc
 
 __all__ = [
     "bfs",
+    "betweenness",
     "multi_source_bfs",
     "closeness_centrality",
     "harmonic_centrality",

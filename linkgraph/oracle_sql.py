@@ -1253,6 +1253,68 @@ GROUP BY v.id
 """
 
 
+def betweenness_sql(sources: list[int], levels: int = 8) -> str:
+    """DuckDB twin of operators.betweenness.betweenness: Brandes with the
+    BFS DAG unrolled — ``levels`` forward strata CTEs carrying σ (sum of
+    predecessor σ, anti-joined against the cumulative visited set), then
+    backward δ CTEs deepest-first (σ_u/σ_v·(1+δ_v) over stratum-crossing
+    edges). ``levels`` must exceed the gate graph's eccentricity from
+    every seed (diameter ~4, see bfs_sql — 2x margin); strata past
+    exhaustion are empty, so the unroll is EXACT, not truncated."""
+    seed_rows = ", ".join(f"({s}::BIGINT)" for s in sources)
+    parts = [
+        f"""l0 AS MATERIALIZED (
+    SELECT s.source, s.source AS id, 1.0::DOUBLE AS sigma
+    FROM (SELECT * FROM (VALUES {seed_rows}) t(source)) s
+),
+vis0 AS MATERIALIZED (SELECT source, id FROM l0)"""
+    ]
+    for t in range(1, levels + 1):
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+    SELECT f.source, e.dst AS id, SUM(f.sigma) AS sigma
+    FROM l{t - 1} f JOIN edges e ON e.src = f.id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM vis{t - 1} v WHERE v.source = f.source AND v.id = e.dst
+    )
+    GROUP BY f.source, e.dst
+),
+vis{t} AS MATERIALIZED (
+    SELECT source, id FROM vis{t - 1}
+    UNION ALL SELECT source, id FROM l{t}
+)"""
+        )
+    parts.append(
+        f"d{levels} AS (SELECT source, id, sigma, 0.0::DOUBLE AS delta FROM l{levels})"
+    )
+    for t in range(levels - 1, -1, -1):
+        parts.append(
+            f"""c{t} AS (
+    SELECT f.source, f.id,
+           SUM(f.sigma / v.sigma * (1.0 + v.delta)) AS delta
+    FROM l{t} f JOIN edges e ON e.src = f.id
+    JOIN d{t + 1} v ON v.source = f.source AND v.id = e.dst
+    GROUP BY f.source, f.id
+),
+d{t} AS MATERIALIZED (
+    SELECT f.source, f.id, f.sigma, COALESCE(c.delta, 0.0) AS delta
+    FROM l{t} f LEFT JOIN c{t} c ON c.source = f.source AND c.id = f.id
+)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT id, delta FROM d{t}" for t in range(1, levels + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT v.id, ROUND(COALESCE(b.b, 0.0), 6) AS betweenness
+FROM vertices v LEFT JOIN (
+    SELECT id, SUM(delta) AS b FROM ({union}) GROUP BY id
+) b ON v.id = b.id
+"""
+
+
 def closeness_sql(sources: list[int], max_depth: int = 64) -> str:
     """Seeded closeness — the harmonic_sql walk with a count/sum tail
     (reached seeds, reached/sum-dist), operators/harmonic.py

@@ -409,6 +409,15 @@ def _q_walks4(spark, sf_dir):
     return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
 
 
+def _q_mis(spark, sf_dir):
+    """Greedy maximal independent set in md5-priority order (round 4) —
+    deterministic Luby rounds; value-checked against an unrolled
+    local-minima oracle."""
+    from linkgraph.operators import maximal_independent_set
+
+    return maximal_independent_set(_graph(spark, sf_dir))
+
+
 def _q_betweenness8(spark, sf_dir):
     """Seeded Brandes betweenness from sources 0-7 (round 4) — σ rides
     the MS-BFS level aggregate, δ walks the strata backward; exact vs an
@@ -528,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss4": _q_ktruss4,
         "tfidf": _q_tfidf,
         "betweenness8": _q_betweenness8,
+        "mis": _q_mis,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -595,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss4": osql.ktruss_sql(k=4, rounds=14),
         "tfidf": osql.tfidf_sql(top_k=3),
         "betweenness8": osql.betweenness_sql(list(range(8)), levels=8),
+        "mis": osql.mis_sql(seed=42, rounds=10),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

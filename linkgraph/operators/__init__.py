@@ -22,6 +22,7 @@ from linkgraph.operators.hits import hits
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar
+from linkgraph.operators.mis import maximal_independent_set
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.scc import scc, scc_census
 from linkgraph.operators.spmv import spmv
@@ -51,6 +52,7 @@ __all__ = [
     "k_truss",
     "coreness",
     "label_propagation",
+    "maximal_independent_set",
     "adamic_adar",
     "pagerank",
     "spmv",

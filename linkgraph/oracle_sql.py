@@ -664,6 +664,53 @@ SELECT src AS id, COUNT(*) AS core_deg FROM e{rounds} GROUP BY src
 """
 
 
+def mis_sql(seed: int = 42, rounds: int = 10) -> str:
+    """DuckDB twin of operators.mis.maximal_independent_set: ``rounds``
+    unrolled Luby rounds on the fixed md5-60 priority order (winners =
+    local (p, id) minima among alive neighbors; winners + their
+    neighborhoods retire). Rounds past exhaustion are no-ops, so any
+    ``rounds`` ≥ the true depth is exact — measured depth is 3 (sf0.001)
+    / 7 (sf0.01); 10 leaves margin, and the ENGINE runs to an empty
+    alive set and raises if it fails to converge."""
+    pri = _md5_60_duck(f"'mis:{int(seed)}:' || CAST(id AS VARCHAR)")
+    parts = [
+        """canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL SELECT b AS src, a AS dst FROM canon
+)""",
+        f"a0 AS MATERIALIZED (SELECT id, {pri} AS p FROM vertices)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+    SELECT a.id FROM a{r - 1} a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sym e JOIN a{r - 1} b ON e.dst = b.id
+        WHERE e.src = a.id AND (b.p < a.p OR (b.p = a.p AND b.id < a.id))
+    )
+),
+a{r} AS MATERIALIZED (
+    SELECT a.id, a.p FROM a{r - 1} a
+    WHERE NOT EXISTS (SELECT 1 FROM w{r} w WHERE w.id = a.id)
+      AND NOT EXISTS (
+        SELECT 1 FROM sym e JOIN w{r} w ON e.dst = w.id WHERE e.src = a.id
+      )
+)"""
+        )
+    union = "\n    UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(1, rounds + 1))
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT v.id, (m.id IS NOT NULL) AS in_mis
+FROM vertices v LEFT JOIN ({union}) m ON v.id = m.id
+"""
+
+
 def ktruss_sql(k: int = 4, rounds: int = 14) -> str:
     """DuckDB twin of operators.truss.k_truss: ``rounds`` unrolled support
     peel rounds. Each round lists triangles over the alive canonical edge

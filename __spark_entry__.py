@@ -418,6 +418,13 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_graph(spark, sf_dir))
 
 
+def _q_lm_score(spark, sf_dir):
+    """Self-trained bigram-LM cross-entropy per document (round 4) — the
+    CCNet-style perplexity-quality signal; counts exact, one rounded
+    float column."""
+    return docs.lm_cross_entropy(_docs(spark, sf_dir), alpha=0.5)
+
+
 def _q_betweenness8(spark, sf_dir):
     """Seeded Brandes betweenness from sources 0-7 (round 4) — σ rides
     the MS-BFS level aggregate, δ walks the strata backward; exact vs an
@@ -538,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": _q_tfidf,
         "betweenness8": _q_betweenness8,
         "mis": _q_mis,
+        "lm_score": _q_lm_score,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -606,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": osql.tfidf_sql(top_k=3),
         "betweenness8": osql.betweenness_sql(list(range(8)), levels=8),
         "mis": osql.mis_sql(seed=42, rounds=10),
+        "lm_score": osql.lm_cross_entropy_sql(alpha=0.5),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

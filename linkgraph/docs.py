@@ -714,6 +714,63 @@ def tf_idf_top_terms(documents: DataFrame, top_k: int = 5) -> DataFrame:
     )
 
 
+def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, cross_entropy) — per-document cross-entropy
+    under an add-α-smoothed bigram language model trained on the corpus
+    itself:
+
+        H(d) = −(1/|d|) Σ ln [ (c(w₋₁,w) + α) / (c(w₋₁) + α·V) ]
+
+    with c the corpus bigram/context counts and V the vocabulary size.
+    The CCNet/Wenzek-et-al-style LM-quality signal — rank documents by
+    typicality and drop the high-perplexity tail — self-trained so it
+    needs no external model artifact. Zero-bigram docs (< 2 tokens)
+    report (0, 0.0).
+
+    Plan shape: bigrams are built INSIDE each doc's token array with a
+    guarded sequence/element_at transform (JVM-side, no self-join), so
+    the model is two map-side-combinable aggregates (bigram counts; the
+    context counts REUSE them), a broadcast 1-row vocabulary size, and
+    one per-doc aggregate. All counts are exact; only the final ln/avg is
+    float, rounded to 6 dp."""
+    a = float(alpha)
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    bg = (
+        f"CASE WHEN size({tt}) >= 2 THEN "
+        f"transform(sequence(2, size({tt})), "
+        f"i -> struct(element_at({tt}, i - 1) AS w1, element_at({tt}, i) AS w2)) "
+        f"ELSE array() END"
+    )
+    bigf = documents.select("doc_id", F.explode(F.expr(bg)).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bigf.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        documents.select(F.explode(F.expr(tt)).alias("s"))
+        .agg(F.countDistinct("s").alias("v"))
+    )
+    scored = (
+        bigf.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("nb"), F.round(-F.avg("lp"), 6).alias("ce")
+    )
+    return documents.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("nb", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("ce", F.lit(0.0)).alias("cross_entropy"),
+    )
+
+
 def sample_documents(
     documents: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -446,6 +446,44 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def lm_cross_entropy_sql(alpha: float = 0.5) -> str:
+    """DuckDB twin of docs.lm_cross_entropy: same whitespace tokenizer,
+    in-list bigram construction (1-based list indexing in both engines
+    via element_at / tt[i]), identical add-α smoothing."""
+    a = float(alpha)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       s -> s <> '') AS tt
+    FROM documents
+),
+bigf AS (
+    SELECT doc_id, u.bg.w1 AS w1, u.bg.w2 AS w2 FROM (
+        SELECT doc_id, unnest(CASE WHEN len(tt) >= 2
+            THEN list_transform(range(2, len(tt) + 1),
+                                i -> struct_pack(w1 := tt[i-1], w2 := tt[i]))
+            ELSE [] END) AS bg
+        FROM toks) u
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigf GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT s) AS v FROM (SELECT unnest(tt) AS s FROM toks)),
+scored AS (
+    SELECT b.doc_id, LN((c2.c2 + {a}) / (c1.c1 + {a} * vocab.v)) AS lp
+    FROM bigf b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    JOIN c1 ON b.w1 = c1.w1, vocab
+)
+SELECT d.doc_id,
+       COALESCE(s.nb, 0) AS n_bigrams,
+       COALESCE(s.ce, 0.0) AS cross_entropy
+FROM documents d LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS nb, ROUND(-AVG(lp), 6) AS ce
+    FROM scored GROUP BY doc_id
+) s ON d.doc_id = s.doc_id
+"""
+
+
 def docs_sample_sql(rate: float = 0.25, seed: int = 42) -> str:
     """DuckDB twin of docs.sample_documents — same md5-60 threshold on
     the same salt string, so the selected set is identical by

@@ -871,3 +871,27 @@ def test_tfidf_tie_breaks_by_term_and_caps_k(spark):
     # all three doc-0 terms have tf=1, df=1 → identical tfidf; term ASC wins
     rows = tf_idf_top_terms(d, top_k=2).filter("doc_id = 0").collect()
     assert sorted(r["term"] for r in rows) == ["xx", "yy"]
+
+
+def test_lm_cross_entropy_closed_form(spark):
+    import math
+
+    from linkgraph.docs import lm_cross_entropy
+
+    d = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a  b"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in lm_cross_entropy(d, alpha=0.5).collect()
+    }
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; c1: a=3, b=2; V=4
+    lp_ab = math.log((3 + 0.5) / (3 + 0.5 * 4))
+    lp_ba = math.log((1 + 0.5) / (2 + 0.5 * 4))
+    lp_bc = lp_ba
+    ce0 = round(-(2 * lp_ab + lp_ba + lp_bc) / 4, 6)
+    assert got[0] == (4, ce0)
+    assert got[1] == (1, round(-lp_ab, 6))
+    assert got[2] == (0, 0.0)
+    assert got[3] == (0, 0.0)

@@ -35,20 +35,26 @@ from linkgraph.derive import link_graph  # noqa: E402
 from linkgraph.graph import Graph  # noqa: E402
 from linkgraph.operators import (  # noqa: E402
     adamic_adar,
+    betweenness,
     bfs,
     closeness_centrality,
     effective_diameter,
     harmonic_centrality,
     hits,
-    neighborhood_function,
+    k_truss,
     label_propagation,
     local_clustering,
+    maximal_independent_set,
+    modularity,
+    neighborhood_function,
     pagerank,
     random_walks,
     scc,
+    skipgram_pairs,
     spmv,
     sssp,
     triangle_count,
+    walk_corpus,
     wcc,
 )
 from linkgraph.session import get_spark  # noqa: E402
@@ -325,6 +331,42 @@ def main() -> None:
         repeats=3,
     )
     timed("adamic_adar", lambda: adamic_adar(g, top_k=50).collect(), repeats=3)
+    timed(
+        "betweenness8",
+        lambda: betweenness(g, sources=list(range(8)))
+        .agg(F.sum("betweenness"))
+        .collect(),
+        repeats=3,
+    )
+    timed(
+        "mis",
+        lambda: maximal_independent_set(g)
+        .agg(F.sum(F.col("in_mis").cast("long")))
+        .collect(),
+        repeats=3,
+    )
+    timed(
+        "modularity",
+        lambda: modularity(g, label_propagation(g, iterations=5)).collect(),
+        repeats=3,
+    )
+    timed(
+        "skipgrams",
+        lambda: skipgram_pairs(
+            walk_corpus(random_walks(g, walk_length=4, walks_per_vertex=2))
+        )
+        .agg(F.sum("n_pairs"))
+        .collect(),
+        repeats=3,
+    )
+    # the 4-truss of the dense gate graph keeps most of the edge set, so
+    # each peel round is a full triangle pass — ~30 s/sample; min-of-2
+    # balances tenancy-proofing against bench minutes
+    timed(
+        "ktruss4",
+        lambda: k_truss(g, k=4).agg(F.sum("support")).collect(),
+        repeats=2,
+    )
 
     # batch events operators on the sf events table (single-shuffle each)
     from linkgraph import events as _ev
@@ -439,6 +481,19 @@ def main() -> None:
             lambda: docmod.token_stats(corpus).agg(F.sum("n_bpe_tokens")).collect(),
         )
         timed_docs("exact_dedup", lambda: docmod.exact_dedup(corpus, by_hash=True).count())
+        timed_docs(
+            "tfidf",
+            # sum(tfidf) consumes the computed column (honest-bench rule)
+            lambda: docmod.tf_idf_top_terms(corpus, top_k=5)
+            .agg(F.sum("tfidf"))
+            .collect(),
+        )
+        timed_docs(
+            "lm_score",
+            lambda: docmod.lm_cross_entropy(corpus)
+            .agg(F.sum("cross_entropy"))
+            .collect(),
+        )
         timed_docs(
             "minhash_pairs",
             lambda: docmod.minhash_candidate_pairs(

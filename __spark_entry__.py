@@ -418,6 +418,22 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_graph(spark, sf_dir))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """Email/URL/IP redaction with per-pattern hit counts (round 4) —
+    the pre-training PII scrub stage; pure regexp projection, no
+    shuffle."""
+    return docs.pii_scrub(_docs(spark, sf_dir))
+
+
+def _q_matching(spark, sf_dir):
+    """Greedy maximal matching in md5-edge-priority order (round 4) —
+    MIS's edge twin; value-checked against an unrolled local-minima
+    oracle."""
+    from linkgraph.operators import maximal_matching
+
+    return maximal_matching(_graph(spark, sf_dir))
+
+
 def _q_lm_score(spark, sf_dir):
     """Self-trained bigram-LM cross-entropy per document (round 4) — the
     CCNet-style perplexity-quality signal; counts exact, one rounded
@@ -546,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness8": _q_betweenness8,
         "mis": _q_mis,
         "lm_score": _q_lm_score,
+        "matching": _q_matching,
+        "pii_scrub": _q_pii_scrub,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -615,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness8": osql.betweenness_sql(list(range(8)), levels=8),
         "mis": osql.mis_sql(seed=42, rounds=10),
         "lm_score": osql.lm_cross_entropy_sql(alpha=0.5),
+        "matching": osql.matching_sql(seed=42, rounds=12),
+        "pii_scrub": osql.pii_scrub_sql(),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

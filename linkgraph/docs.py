@@ -676,6 +676,49 @@ def quality_filter(
     return s.select("doc_id", keep.alias("keep"))
 
 
+# PII scrub patterns — ASCII-anchored so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte; the URL tail uses the explicit whitespace
+# class (not \s) for the same \x0B reason as _BPE_REGEX
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_URL = "https?://[^ \\t\\n\\x0B\\f\\r]+"
+PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_urls, n_ips) — redact emails,
+    URLs, and IPv4-shaped tokens to ``<EMAIL>``/``<URL>``/``<IP>``
+    placeholders, with per-pattern hit counts over the ORIGINAL text
+    (an IP inside a URL counts toward both; the rewrite applies email →
+    URL → IP in that order so the URL pass consumes any address embedded
+    in it). The standard pre-training scrub stage between dedup and
+    quality filtering. Pure JVM regexp expressions — one projection, no
+    shuffle; counts are exact longs."""
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    # column-function form (not F.expr): the pattern reaches Java regex
+    # directly, with no SQL-string-literal escape pass to corrupt \. or
+    # \x0B (the _BPE_REGEX quadruple-backslash trap)
+    def hits(pat: str) -> Column:
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        hits(PII_EMAIL).alias("n_emails"),
+        hits(PII_URL).alias("n_urls"),
+        hits(PII_IP).alias("n_ips"),
+    )
+
+
 def tf_idf_top_terms(documents: DataFrame, top_k: int = 5) -> DataFrame:
     """(doc_id, term, tf, tfidf) — the ``top_k`` highest-TF-IDF whitespace
     terms per document: tf = in-doc term count, idf = ln(N / df) with N

@@ -22,6 +22,7 @@ from linkgraph.operators.hits import hits
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar
+from linkgraph.operators.matching import maximal_matching
 from linkgraph.operators.mis import maximal_independent_set
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.scc import scc, scc_census
@@ -53,6 +54,7 @@ __all__ = [
     "coreness",
     "label_propagation",
     "maximal_independent_set",
+    "maximal_matching",
     "adamic_adar",
     "pagerank",
     "spmv",

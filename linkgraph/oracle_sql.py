@@ -446,6 +446,25 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def pii_scrub_sql() -> str:
+    """DuckDB twin of docs.pii_scrub — identical ASCII-anchored patterns
+    (imported from docs.py so the two engines cannot drift), same
+    email → URL → IP rewrite order, counts over the original text."""
+    from linkgraph.docs import PII_EMAIL, PII_IP, PII_URL
+
+    return f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_URL}', '<URL>', 'g'),
+      '{PII_IP}', '<IP>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_URL}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ips
+FROM documents
+"""
+
+
 def lm_cross_entropy_sql(alpha: float = 0.5) -> str:
     """DuckDB twin of docs.lm_cross_entropy: same whitespace tokenizer,
     in-list bigram construction (1-based list indexing in both engines
@@ -746,6 +765,55 @@ WITH {EDGES_SQL},
 {body}
 SELECT v.id, (m.id IS NOT NULL) AS in_mis
 FROM vertices v LEFT JOIN ({union}) m ON v.id = m.id
+"""
+
+
+def matching_sql(seed: int = 42, rounds: int = 12) -> str:
+    """DuckDB twin of operators.matching.maximal_matching: ``rounds``
+    unrolled greedy rounds on the fixed md5-60 edge-priority order
+    (winners = (p, a, b)-minima among edges sharing an endpoint; matched
+    stars retire). Rounds past exhaustion are no-ops, so any ``rounds``
+    ≥ the true depth is exact — measured depth is 4 (sf0.001) / 9
+    (sf0.01); 12 leaves margin, and the ENGINE runs to an empty alive
+    set and raises if it fails to converge."""
+    pri = _md5_60_duck(
+        f"'match:{int(seed)}:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+    )
+    parts = [
+        f"""a0 AS MATERIALIZED (
+    SELECT a, b, {pri} AS p FROM (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst
+    )
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+    SELECT x.a, x.b FROM a{r - 1} x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM a{r - 1} y
+        WHERE NOT (y.a = x.a AND y.b = x.b)
+          AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b))
+          AND (y.p < x.p OR (y.p = x.p
+               AND (y.a < x.a OR (y.a = x.a AND y.b < x.b))))
+    )
+),
+a{r} AS MATERIALIZED (
+    SELECT x.a, x.b, x.p FROM a{r - 1} x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM w{r} w WHERE w.a IN (x.a, x.b) OR w.b IN (x.a, x.b)
+    )
+)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT a, b FROM w{r}" for r in range(1, rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+{union}
 """
 
 

@@ -895,3 +895,28 @@ def test_lm_cross_entropy_closed_form(spark):
     assert got[1] == (1, round(-lp_ab, 6))
     assert got[2] == (0, 0.0)
     assert got[3] == (0, 0.0)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from linkgraph.docs import pii_scrub
+
+    d = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@foo-bar.example.com or visit https://x.io/p?q=1 now"),
+            (1, "server 10.0.255.3 and 192.168.1.1, no pii"),
+            (2, ""),
+            (3, "plain text"),
+            (4, "url with embedded addr http://10.1.2.3/admin stays one URL"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert got[0]["clean_text"] == "mail me at <EMAIL> or visit <URL> now"
+    assert (got[0]["n_emails"], got[0]["n_urls"], got[0]["n_ips"]) == (1, 1, 0)
+    assert got[1]["clean_text"] == "server <IP> and <IP>, no pii"
+    assert got[1]["n_ips"] == 2
+    assert got[2]["clean_text"] == ""
+    assert got[3]["clean_text"] == "plain text"
+    # the URL pass consumes the embedded IP; the raw-text count sees both
+    assert got[4]["clean_text"] == "url with embedded addr <URL> stays one URL"
+    assert (got[4]["n_urls"], got[4]["n_ips"]) == (1, 1)

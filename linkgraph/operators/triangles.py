@@ -89,6 +89,27 @@ def _closed_wedges_from_canon(canon: DataFrame, degree_oriented: bool) -> DataFr
     return wedges.join(canon, ["a", "b"], "left_semi")
 
 
+def _triangle_stream_from_canon(canon: DataFrame, degree_oriented: bool) -> DataFrame:
+    """Each triangle of the canonical edge set exactly once, as
+    (u, v, w): oriented edge u→v plus a common oriented out-neighbor w
+    of both. The adjacency-intersect ENUMERATOR — explode of
+    ``array_intersect(adj[u], adj[v])`` — so the only shuffled rows are
+    the E' adjacency build and the |triangles| output rows; the wedge
+    set (Σ deg⁺² rows — 76M vs 22M triangles on the dense sf0.1 gate
+    graph, measured 24→7 s for per-vertex counts) is never materialized
+    or shuffled. Degree orientation bounds each adjacency array by
+    O(√E̅), the same argument as triangle_count's adjacency method."""
+    e = _oriented_from_canon(canon, degree_oriented).select("u", "v")
+    adj = e.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select(F.col("u").alias("_u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("u").alias("_v"), F.col("nbrs").alias("nbrs_v"))
+    return (
+        e.join(au, e["u"] == au["_u"])
+        .join(av, e["v"] == av["_v"])
+        .select("u", "v", F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"))
+    )
+
+
 def triangle_count(
     graph: Graph, degree_oriented: bool = True, method: str = "adjacency"
 ) -> DataFrame:
@@ -122,8 +143,11 @@ def triangle_count(
 
 def triangles_per_vertex(graph: Graph, degree_oriented: bool = True) -> DataFrame:
     """(id, triangles) over the full vertex set — each triangle credited to
-    all three corners (isolated / triangle-free vertices get 0)."""
-    tri = _closed_wedges(graph, degree_oriented)
+    all three corners (isolated / triangle-free vertices get 0). Rides
+    the adjacency-intersect triangle stream (no wedge shuffle)."""
+    tri = _triangle_stream_from_canon(
+        graph.canonical_undirected_edges(), degree_oriented
+    )
     corners = (
         tri.select(F.col("u").alias("id"))
         .unionByName(tri.select(F.col("v").alias("id")))

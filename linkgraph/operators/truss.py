@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
-from linkgraph.operators.triangles import _closed_wedges_from_canon
+from linkgraph.operators.triangles import _triangle_stream_from_canon
 
 
 def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
@@ -40,20 +40,21 @@ def _default_checkpointer(df: DataFrame, iteration: int) -> DataFrame:
 def _edge_support(canon: DataFrame, degree_oriented: bool) -> DataFrame:
     """(a, b, sup) — per-canonical-edge triangle count over the edge set
     ``canon`` (a < b, deduped). Edges in no triangle are ABSENT (the
-    caller left-joins and coalesces to 0). Each triangle {x<y<z} is
-    enumerated exactly once by the oriented wedge closure, then credited
-    to its three edges; the credit union is map-side combinable."""
-    tri = _closed_wedges_from_canon(canon, degree_oriented)  # (u, v, w, a, b)
-    # the wedge's canonical closing pair is already (a, b) = (min(u,w), max(u,w));
-    # the other two edges need the least/greatest because degree orientation
-    # does not preserve id order
+    caller left-joins and coalesces to 0). Each triangle is enumerated
+    exactly once by the adjacency-intersect stream (no wedge shuffle —
+    triangles.py:_triangle_stream_from_canon), then credited to its
+    three edges; the credit union is map-side combinable. least/greatest
+    per pair because degree orientation does not preserve id order."""
+    tri = _triangle_stream_from_canon(canon, degree_oriented)  # (u, v, w)
     e1 = tri.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     )
     e2 = tri.select(
         F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
     )
-    e3 = tri.select("a", "b")
+    e3 = tri.select(
+        F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
+    )
     return (
         e1.unionByName(e2)
         .unionByName(e3)

@@ -418,6 +418,20 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(_graph(spark, sf_dir))
 
 
+def _q_chunks(spark, sf_dir):
+    """Context-window chunking, 40 tokens / 10 overlap (round 4) — the
+    retrieval/embedding chunk stage; chunks built inside the token
+    array."""
+    return docs.chunk_documents(_docs(spark, sf_dir), chunk_tokens=40, overlap=10)
+
+
+def _q_pack(spark, sf_dir):
+    """GPT-style sequence packing into 256-token windows (round 4) —
+    two-level distributed prefix sum (no global single-partition
+    window)."""
+    return docs.pack_windows(_docs(spark, sf_dir), window_tokens=256, num_buckets=8)
+
+
 def _q_pii_scrub(spark, sf_dir):
     """Email/URL/IP redaction with per-pattern hit counts (round 4) —
     the pre-training PII scrub stage; pure regexp projection, no
@@ -564,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "matching": _q_matching,
         "pii_scrub": _q_pii_scrub,
+        "chunks": _q_chunks,
+        "pack": _q_pack,
         "sessionize": _q_sessionize,
         "events_rollup": _q_events_rollup,
     }
@@ -635,6 +651,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": osql.lm_cross_entropy_sql(alpha=0.5),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
+        "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
+        "pack": osql.pack_windows_sql(window_tokens=256),
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),

@@ -814,6 +814,122 @@ def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 100, overlap: int = 0
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) — split each document
+    into whitespace-token chunks of ``chunk_tokens`` with ``overlap``
+    tokens of left context (stride = chunk_tokens − overlap): the
+    context-window chunking stage of retrieval/embedding pipelines.
+    Zero-token docs emit no chunks; the final chunk may be short, but a
+    pure-overlap tail (fully contained in the previous chunk) is not
+    emitted. Chunks are built INSIDE the token array (sequence + slice +
+    array_join HOFs, JVM-side) — the only shuffle-relevant cost is the
+    explode's row count, Σ ceil(tokens/stride)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    # 1 + ceil((n - chunk)/stride) chunks, floored at 1 for any nonempty
+    # doc (n ≤ chunk is ONE chunk; n ≤ overlap must not go negative —
+    # Spark's sequence(1, 0) DESCENDS and would fabricate chunks)
+    n_chunks = (
+        f"CASE WHEN size({tt}) = 0 THEN 0 ELSE "
+        f"1 + CAST(greatest(0, floor((size({tt}) - {chunk_tokens} + {stride - 1})"
+        f" / {stride})) AS INT) END"
+    )
+    # chunk i (0-based) covers 1-based token positions [i*stride+1, i*stride+chunk_tokens]
+    chunks = (
+        f"transform(sequence(1, {n_chunks}), i -> struct("
+        f"CAST(i - 1 AS BIGINT) AS chunk_id, "
+        f"slice({tt}, (i - 1) * {stride} + 1, {chunk_tokens}) AS toks))"
+    )
+    guarded = f"CASE WHEN size({tt}) = 0 THEN array() ELSE {chunks} END"
+    return documents.select(
+        "doc_id", F.explode(F.expr(guarded)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+        F.array_join(F.col("c.toks"), " ").alias("chunk_text"),
+    )
+
+
+def pack_windows(
+    documents: DataFrame, window_tokens: int = 2048, num_buckets: int = 64
+) -> DataFrame:
+    """(window_id, doc_id, n_tokens) — GPT-style sequence packing:
+    concatenate all documents' whitespace tokens in doc_id order and cut
+    the stream into fixed windows of ``window_tokens``; each output row
+    says how many tokens of ``doc_id`` land in ``window_id`` (docs
+    straddling a boundary emit one row per touched window; zero-token
+    docs emit none). The standard pretraining batch-packing layout.
+
+    100 TB note — the naive plan is a GLOBAL ``Window.orderBy(doc_id)``
+    cumsum, which Spark executes as a SINGLE partition (the whole corpus
+    through one task). Instead: range-repartition by doc_id into
+    ``num_buckets``, per-bucket token sums collected to the driver (one
+    row per bucket — O(buckets), not O(docs)), broadcast back as each
+    bucket's starting offset, then the cumsum window runs PER BUCKET —
+    the classic two-level distributed prefix sum; no stage sees more
+    than a bucket's rows in one task."""
+    from pyspark.sql import Window
+
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    w = int(window_tokens)
+    toks = documents.select(
+        "doc_id", F.size(F.expr(tt)).cast("long").alias("n")
+    ).repartitionByRange(num_buckets, "doc_id")
+    toks = toks.withColumn("bucket", F.spark_partition_id())
+    # O(num_buckets) driver rows -> per-bucket starting offsets
+    sums = toks.groupBy("bucket").agg(
+        F.sum("n").alias("s"), F.min("doc_id").alias("lo")
+    )
+    rows = sorted(sums.collect(), key=lambda r: r["lo"])
+    offsets, acc = {}, 0
+    for r in rows:
+        offsets[r["bucket"]] = acc
+        acc += r["s"]
+    # JVM map literal (≤ num_buckets entries), not a Python UDF — the
+    # repo-wide zero-row-Python invariant holds here too
+    off = (
+        F.create_map(*[F.lit(x) for bk, st in offsets.items() for x in (bk, st)])
+        if offsets
+        else F.create_map(F.lit(0), F.lit(0))
+    )
+    cum = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    spans = toks.filter(F.col("n") > 0).select(
+        "doc_id",
+        "n",
+        (
+            F.coalesce(off[F.col("bucket")], F.lit(0))
+            + F.coalesce(F.sum("n").over(cum), F.lit(0))
+        ).alias("start"),
+    )
+    # windows touched: floor(start/w) .. floor((start+n-1)/w)
+    out = spans.select(
+        "doc_id",
+        "n",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / w),
+                F.floor((F.col("start") + F.col("n") - 1) / w),
+            )
+        ).alias("window_id"),
+    )
+    return out.select(
+        "window_id",
+        "doc_id",
+        (
+            F.least(F.lit(w) * (F.col("window_id") + 1), F.col("start") + F.col("n"))
+            - F.greatest(F.lit(w) * F.col("window_id"), F.col("start"))
+        ).cast("long").alias("n_tokens"),
+    )
+
+
 def sample_documents(
     documents: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -446,6 +446,70 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def chunk_documents_sql(chunk_tokens: int = 100, overlap: int = 0) -> str:
+    """DuckDB twin of docs.chunk_documents: same whitespace tokenizer,
+    same 1-based slice arithmetic (list_slice is inclusive-1-based, so
+    the end index is start + chunk − 1)."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       s -> s <> '') AS tt
+    FROM documents
+),
+ch AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tt) = 0 THEN [] ELSE
+               list_transform(range(1, 2 + GREATEST(0,
+                       CAST(floor((len(tt) - {chunk_tokens} + {stride - 1})
+                                  * 1.0 / {stride}) AS INT))),
+                   i -> struct_pack(
+                       chunk_id := CAST(i - 1 AS BIGINT),
+                       toks := list_slice(tt, (i - 1) * {stride} + 1,
+                                          (i - 1) * {stride} + {chunk_tokens})))
+           END) AS c
+    FROM toks
+)
+SELECT doc_id,
+       c.chunk_id AS chunk_id,
+       CAST(len(c.toks) AS BIGINT) AS n_tokens,
+       array_to_string(c.toks, ' ') AS chunk_text
+FROM ch
+"""
+
+
+def pack_windows_sql(window_tokens: int = 2048) -> str:
+    """DuckDB twin of docs.pack_windows — single-node, so the two-level
+    prefix sum collapses to one SUM OVER (ORDER BY doc_id); identical
+    integer arithmetic."""
+    w = int(window_tokens)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                s -> s <> '')) AS BIGINT) AS n
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, n,
+           COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+    FROM toks WHERE n > 0
+),
+hit AS (
+    SELECT doc_id, n, start,
+           unnest(range(CAST(floor(start / {w}) AS BIGINT),
+                        CAST(floor((start + n - 1) / {w}) AS BIGINT) + 1)) AS window_id
+    FROM spans
+)
+SELECT window_id, doc_id,
+       CAST(LEAST({w} * (window_id + 1), start + n)
+            - GREATEST({w} * window_id, start) AS BIGINT) AS n_tokens
+FROM hit
+"""
+
+
 def pii_scrub_sql() -> str:
     """DuckDB twin of docs.pii_scrub — identical ASCII-anchored patterns
     (imported from docs.py so the two engines cannot drift), same

@@ -920,3 +920,90 @@ def test_pii_scrub_redacts_and_counts(spark):
     # the URL pass consumes the embedded IP; the raw-text count sees both
     assert got[4]["clean_text"] == "url with embedded addr <URL> stays one URL"
     assert (got[4]["n_urls"], got[4]["n_ips"]) == (1, 1)
+
+
+def test_chunk_documents_slices_and_overlap(spark):
+    from linkgraph.docs import chunk_documents
+
+    d = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5 t6"), (1, "a b"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(d, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 0: 7 tokens, stride 3 -> two chunks cover all tokens; a third
+    # would be pure overlap (t6 is already in chunk 1) and is suppressed
+    assert got[(0, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(0, 1)] == (4, "t3 t4 t5 t6")
+    assert (0, 2) not in got
+    assert got[(1, 0)] == (2, "a b")
+    assert {k[0] for k in got} == {0, 1}  # empty doc: no chunks
+
+
+def test_chunk_documents_no_pure_overlap_tail(spark):
+    from linkgraph.docs import chunk_documents
+
+    d = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    rows = chunk_documents(d, chunk_tokens=4, overlap=2).collect()
+    # 4 tokens in one chunk; a second chunk would be pure overlap
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 4
+
+
+def test_pack_windows_concat_arithmetic(spark):
+    from linkgraph.docs import pack_windows
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "d e f g"), (3, "h"), (4, "i j")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["window_id"], r["doc_id"]): r["n_tokens"]
+        for r in pack_windows(d, window_tokens=4, num_buckets=3).collect()
+    }
+    # stream: doc0[0,3) doc2[3,7) doc3[7,8) doc4[8,10); windows of 4
+    assert got == {
+        (0, 0): 3,
+        (0, 2): 1,
+        (1, 2): 3,
+        (1, 3): 1,
+        (2, 4): 2,
+    }
+
+
+def test_pack_windows_totals_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.docs import pack_windows, token_stats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_windows(d, window_tokens=128, num_buckets=8)
+    total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    # every nonempty-token doc's tokens land somewhere exactly once
+    want = (
+        d.selectExpr(
+            "size(filter(split(lower(trim(text)), '\\\\s+'), s -> s != '')) AS n"
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == want
+    # no window exceeds its budget
+    per_w = packed.groupBy("window_id").agg(F.sum("n_tokens").alias("s"))
+    assert per_w.filter(F.col("s") > 128).count() == 0
+
+
+def test_chunk_documents_short_doc_one_chunk(spark):
+    # n <= overlap must still yield exactly one chunk (the negative
+    # chunk-count case: Spark's sequence(1, 0) descends)
+    from linkgraph.docs import chunk_documents
+
+    d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    rows = chunk_documents(d, chunk_tokens=40, overlap=10).collect()
+    assert len(rows) == 1
+    assert (rows[0]["chunk_id"], rows[0]["n_tokens"], rows[0]["chunk_text"]) == (
+        0,
+        1,
+        "x",
+    )

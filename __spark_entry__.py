@@ -500,6 +500,19 @@ def _q_skipgrams(spark, sf_dir):
     return skipgram_pairs(walk_corpus(w), window=2)
 
 
+def _q_funnel(spark, sf_dir):
+    """view→click→purchase funnel within 6h per transition (round 4) —
+    greedy-earliest sequence matching, K min-agg joins, no per-user
+    event arrays."""
+    from linkgraph import events
+
+    return events.funnel(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        steps=["view", "click", "purchase"],
+        within_seconds=21600,
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Batch gap-sessionization of the events table (round 4) — the
     batch twin of streaming.stream_sessionize; single user_id shuffle."""
@@ -581,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": _q_chunks,
         "pack": _q_pack,
         "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,
     }
 
@@ -656,5 +670,8 @@ def oracle_sql() -> dict[str, str]:
         # "hyperanf" deliberately has NO oracle: HLL estimates are
         # engine-specific; neighborhood6 is its exact value-checked twin
         "sessionize": osql.sessionize_sql(gap_seconds=1800),
+        "funnel": osql.funnel_sql(
+            ["view", "click", "purchase"], within_seconds=21600
+        ),
         "events_rollup": osql.events_rollup_sql(bucket="hour"),
     }

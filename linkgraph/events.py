@@ -87,3 +87,59 @@ def rollup(events: DataFrame, bucket: str = "hour") -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = 3600,
+) -> DataFrame:
+    """Ordered-sequence funnel: (step, event_type, n_users) — how many
+    users complete the first k steps of ``steps`` in time order, each
+    step STRICTLY after the previous matched one and (when
+    ``within_seconds`` is set) within that many seconds of it.
+
+    Matching is greedy-earliest FIRST-TOUCH (step k's match = the user's
+    earliest event qualifying against the greedily-matched step k−1) —
+    the standard product-analytics funnel semantics, fully deterministic.
+    With ``within_seconds=None`` it is also existence-exact (a chain
+    exists iff greedy completes). Under a per-transition window it is a
+    defined policy, not existence-exact: a user whose earliest step-k
+    match strands the next transition counts as stopping there even if a
+    later step-k event would have chained (A@0, B@1, B@9, C@15 at W=10
+    stops at B — by design, matching the first-touch convention).
+
+    Plan shape: one filtered min-aggregate per step, each joined to the
+    previous step's (user, t) table — K shuffles on user_id for a
+    K-step funnel, no window functions, no per-user event arrays (the
+    collect-events-per-user formulation breaks on power users; this one
+    never materializes a user's history)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = _ntz_micros(F.col("ts"))
+    ev = events.select("user_id", "event_type", us.alias("t"))
+    w_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+    counts = []
+    cur = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t"))
+    )
+    counts.append(cur)
+    for s in steps[1:]:
+        prev = cur.select("user_id", F.col("t").alias("pt"))
+        nxt = ev.filter(F.col("event_type") == s).join(prev, "user_id")
+        cond = F.col("t") > F.col("pt")
+        if w_us is not None:
+            cond = cond & (F.col("t") - F.col("pt") <= w_us)
+        cur = nxt.filter(cond).groupBy("user_id").agg(F.min("t").alias("t"))
+        counts.append(cur)
+    out = None
+    for k, (s, c) in enumerate(zip(steps, counts)):
+        row = c.agg(F.count("*").alias("n_users")).select(
+            F.lit(k).cast("long").alias("step"),
+            F.lit(s).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

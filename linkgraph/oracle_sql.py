@@ -1663,6 +1663,39 @@ GROUP BY r1.id
 
 
 # ------------------------------------------------------------------ events
+def funnel_sql(steps: list[str], within_seconds: int | None = 3600) -> str:
+    """DuckDB twin of events.funnel: one MIN-aggregate CTE per step,
+    each joined to the previous step's (user, t); greedy-earliest,
+    strict ordering, integral-microsecond windows (epoch_us)."""
+    w_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+    parts = [
+        "ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events)",
+        f"""s0 AS MATERIALIZED (
+    SELECT user_id, MIN(t) AS t FROM ev
+    WHERE event_type = '{steps[0]}' GROUP BY user_id
+)""",
+    ]
+    for k, s in enumerate(steps[1:], start=1):
+        win = "" if w_us is None else f" AND e.t - p.t <= {w_us}"
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+    SELECT e.user_id, MIN(e.t) AS t
+    FROM ev e JOIN s{k - 1} p ON e.user_id = p.user_id
+    WHERE e.event_type = '{s}' AND e.t > p.t{win}
+    GROUP BY e.user_id
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS step, '{s}' AS event_type, COUNT(*) AS n_users FROM s{k}"
+        for k, s in enumerate(steps)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+{union}
+"""
+
+
 def sessionize_sql(gap_seconds: int = 1800) -> str:
     """DuckDB twin of events.sessionize — identical (ts, event_id)
     ordering, integral-microsecond gap comparison (epoch_us ↔

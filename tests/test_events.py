@@ -91,3 +91,71 @@ def test_rollup_hourly_counts_and_means(spark):
     assert got[(h0, "click")]["n_events"] == 1
     assert got[(h1, "view")]["n_events"] == 1
     assert got[(h1, "view")]["avg_value"] == pytest.approx(5.0)
+
+
+def test_funnel_greedy_earliest_and_window(spark):
+    from datetime import datetime
+
+    from linkgraph.events import funnel
+
+    def ev(i, t, u, typ):
+        return (i, datetime(2024, 1, 1, 0, 0, t), u, typ, 1.0, "{}")
+
+    rows = [
+        # user 1 completes view(0) -> click(10) -> purchase(20)
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: click BEFORE view only -> stops at view
+        ev(4, 5, 2, "click"), ev(5, 9, 2, "view"),
+        # user 3: completes but the click->purchase gap exceeds the window
+        ev(6, 0, 3, "view"), ev(7, 1, 3, "click"), ev(8, 50, 3, "purchase"),
+        # user 4: view@0, click@2, click@30, purchase@31 — first-touch
+        # click(2)→purchase(31) gap 29 > 20, and the later click(30) is
+        # itself outside view@0's 20 s window, so user 4 stops at click
+        # under within=20; unbounded, the chain completes
+        ev(9, 0, 4, "view"), ev(10, 2, 4, "click"),
+        ev(11, 30, 4, "click"), ev(12, 31, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel(df, ["view", "click", "purchase"], within_seconds=20).collect()
+    }
+    assert got[0] == ("view", 4)
+    assert got[1] == ("click", 3)  # user 2 never clicks after viewing
+    assert got[2] == ("purchase", 1)  # only user 1 within 20 s per hop
+    # unbounded window: users 1, 3 and 4 all purchase
+    got_u = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, ["view", "click", "purchase"], within_seconds=None).collect()
+    }
+    assert got_u[2] == 3
+
+
+def test_funnel_first_touch_policy_pinned(spark):
+    # the documented divergence from existence semantics: A@0 B@1 B@9
+    # C@15 with W=10 — a valid chain exists (B@9), but first-touch
+    # greedily binds B@1 and strands C
+    from datetime import datetime
+
+    from linkgraph.events import funnel
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 1), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 9), 1, "click", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 0, 15), 1, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, ["view", "click", "purchase"], within_seconds=10).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 0}

@@ -500,6 +500,25 @@ def _q_skipgrams(spark, sf_dir):
     return skipgram_pairs(walk_corpus(w), window=2)
 
 
+def _q_mean_distance(spark, sf_dir):
+    """Exact mean shortest-path distance over reachable pairs, d ≤ 6
+    (round 4) — the average-path-length summary from the same
+    all-sources MS-BFS as neighborhood6."""
+    from linkgraph.operators import mean_distance
+
+    return mean_distance(_graph(spark, sf_dir), max_h=6)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic rebalancing sample (round 4) — md5
+    thresholds per stratum, monotone in rate."""
+    return docs.stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "zh": 0.1, "de": 0.25},
+        default_rate=0.05,
+    )
+
+
 def _q_funnel(spark, sf_dir):
     """view→click→purchase funnel within 6h per transition (round 4) —
     greedy-earliest sequence matching, K min-agg joins, no per-user
@@ -595,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack": _q_pack,
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
+        "mean_distance": _q_mean_distance,
+        "stratified_sample": _q_stratified_sample,
         "events_rollup": _q_events_rollup,
     }
 
@@ -672,6 +693,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": osql.sessionize_sql(gap_seconds=1800),
         "funnel": osql.funnel_sql(
             ["view", "click", "purchase"], within_seconds=21600
+        ),
+        "mean_distance": osql.mean_distance_sql(max_h=6),
+        "stratified_sample": osql.stratified_sample_sql(
+            rates={"en": 0.5, "zh": 0.1, "de": 0.25}, default_rate=0.05
         ),
         "events_rollup": osql.events_rollup_sql(bucket="hour"),
     }

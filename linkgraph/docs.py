@@ -948,6 +948,41 @@ def sample_documents(
     return documents.filter(h < F.lit(threshold))
 
 
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum hash sample: keep a document iff the
+    60-bit md5 of ``samp:<seed>:<id>`` falls below its stratum's
+    rate·2^60 — the language/domain-rebalancing stage of corpus curation
+    (up/down-weight strata to a target mix), with all of
+    :func:`sample_documents`'s guarantees (reproducible across engines,
+    runs, AND partitionings; a stratum's kept set at rate r is a subset
+    of its kept set at r' > r, so mixes can be retuned monotonically).
+    Strata not in ``rates`` fall back to ``default_rate``. The rate
+    lookup is a JVM map literal — one filter, no shuffle, no Python."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    default_thr = F.lit(int(default_rate * float(1 << 60)))
+    thresholds = {k: int(v * float(1 << 60)) for k, v in rates.items()}
+    if thresholds:
+        tmap = F.create_map(
+            *[F.lit(x) for k, t in thresholds.items() for x in (k, t)]
+        )
+        thr = F.coalesce(tmap[F.col(strata_col)], default_thr)
+    else:
+        thr = default_thr
+    h = _md5_60(f"concat('samp:{int(seed)}:', CAST({id_col} AS STRING))")
+    return documents.filter(h < thr)
+
+
 # --------------------------------------------------------------- language id
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),

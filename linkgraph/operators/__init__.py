@@ -8,6 +8,7 @@ merged back into the vertex-state DataFrame.
 
 from linkgraph.operators.anf import (
     effective_diameter,
+    mean_distance,
     neighborhood_function,
     neighborhood_function_exact,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "neighborhood_function",
     "neighborhood_function_exact",
     "effective_diameter",
+    "mean_distance",
     "hits",
     "k_core",
     "k_truss",

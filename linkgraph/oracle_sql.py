@@ -1586,6 +1586,45 @@ GROUP BY hs.h
 """
 
 
+def mean_distance_sql(max_h: int = 6) -> str:
+    """DuckDB twin of operators.anf.mean_distance — the neighborhood_sql
+    capped walk with a filtered single-division tail."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(source, id, dist) AS (
+    SELECT v.id AS source, v.id AS id, CAST(0 AS BIGINT) AS dist
+    FROM vertices v
+    UNION
+    SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_h}
+),
+md AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(SUM(dist) * 1.0 / COUNT(*), 6) AS mean_dist
+FROM md WHERE dist > 0 AND dist <= {max_h}
+"""
+
+
+def stratified_sample_sql(
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of docs.stratified_sample — identical md5-60
+    threshold per stratum."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * float(1 << 60))}" for k, v in rates.items()
+    )
+    h = _md5_60_duck(f"'samp:{int(seed)}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT * FROM documents
+WHERE {h} < CASE {strata_col} {cases}
+            ELSE {int(default_rate * float(1 << 60))} END
+"""
+
+
 def _walks_ctes(walk_length: int, walks_per_vertex: int, seed: int) -> tuple[str, str]:
     """(cte_body, union_select) for the deterministic walk corpus —
     operators/walks.py random_walks unrolled: step t picks the

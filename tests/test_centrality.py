@@ -237,3 +237,18 @@ def test_effective_diameter_chain(spark):
     assert 0.0 < d_eff <= 9.0
     assert curve[-1][0] <= 10  # saturation detected, not run to max_h
     g.unpersist()
+
+
+def test_mean_distance_closed_form_chain(spark):
+    from linkgraph.operators import mean_distance
+    from tests.conftest import chain_edges, make_graph
+
+    edges, n = chain_edges(5)  # 0→1→2→3→4
+    g = make_graph(spark, edges, n)
+    r = mean_distance(g, max_h=8).collect()[0]
+    # ordered reachable pairs: dists 1x4, 2x3, 3x2, 4x1 → 10 pairs, sum 20
+    assert (r["n_pairs"], r["mean_dist"]) == (10, 2.0)
+    # capping at h=2 drops the longer pairs
+    r2 = mean_distance(g, max_h=2).collect()[0]
+    assert (r2["n_pairs"], r2["mean_dist"]) == (7, round(10 / 7, 6))
+    g.unpersist()

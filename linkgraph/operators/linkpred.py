@@ -63,3 +63,51 @@ def adamic_adar(
         .join(canon, ["a", "b"], "left_anti")
     )
     return scored.orderBy(F.desc("aa"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def jaccard_pairs(
+    graph: Graph,
+    top_k: int = 50,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Top-``top_k`` non-adjacent pairs (a < b) by neighborhood Jaccard:
+    (a, b, cn, jaccard) with jaccard = cn / (deg(a) + deg(b) − cn) over
+    the undirected simple graph, rounded to 6 dp; ordering (jaccard desc,
+    a, b) on the ROUNDED value for an engine-stable cut line. Same wedge
+    pass and ``max_center_degree`` hub cap as :func:`adamic_adar`; the
+    union size needs no second neighborhood join — it is
+    deg(a) + deg(b) − cn, two broadcast-able degree joins after the pair
+    aggregate."""
+    canon = graph.canonical_undirected_edges()
+    sym = canon.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        canon.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = sym.groupBy("w").agg(F.count("*").alias("d"))
+    centers = deg if max_center_degree is None else deg.filter(
+        F.col("d") <= max_center_degree
+    )
+    sd = sym.join(centers.select("w"), "w")
+    s1 = sd.select("w", F.col("x").alias("a"))
+    s2 = sd.select("w", F.col("x").alias("b"))
+    pairs = (
+        s1.join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+        .join(canon, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("w").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("w").alias("b"), F.col("d").alias("db"))
+    scored = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(top_k)

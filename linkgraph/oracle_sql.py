@@ -1450,6 +1450,39 @@ LIMIT {top_k}
 """
 
 
+def jaccard_pairs_sql(top_k: int = 50) -> str:
+    """DuckDB twin of operators.linkpred.jaccard_pairs — the adamic_adar
+    wedge join with a degree-sum union size and the rounded-score cut."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT a AS w, b AS x FROM canon
+    UNION ALL
+    SELECT b AS w, a AS x FROM canon
+),
+deg AS (SELECT w AS id, COUNT(*) AS d FROM sym GROUP BY w),
+pairs AS (
+    SELECT s1.x AS a, s2.x AS b, COUNT(*) AS cn
+    FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.x < s2.x
+    GROUP BY s1.x, s2.x
+),
+nonadj AS (
+    SELECT p.a, p.b, p.cn FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = p.a AND c.b = p.b)
+)
+SELECT n.a, n.b, n.cn,
+       ROUND(n.cn * 1.0 / (da.d + db.d - n.cn), 6) AS jaccard
+FROM nonadj n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
+ORDER BY jaccard DESC, n.a ASC, n.b ASC
+LIMIT {top_k}
+"""
+
+
 def harmonic_sql(sources: list[int], max_depth: int = 64) -> str:
     """Seeded harmonic centrality via a seed-dimensioned recursive walk —
     the bfs_sql shape with a ``source`` column (MS-BFS flattening,

@@ -252,3 +252,52 @@ def test_mean_distance_closed_form_chain(spark):
     r2 = mean_distance(g, max_h=2).collect()[0]
     assert (r2["n_pairs"], r2["mean_dist"]) == (7, round(10 / 7, 6))
     g.unpersist()
+
+
+def test_jaccard_pairs_closed_form(spark):
+    import numpy as np
+
+    from linkgraph.operators import jaccard_pairs
+    from tests.conftest import make_graph
+
+    # path 0-1-2-3 plus 1-4: pair (0,2) shares {1}; N(0)={1}, N(2)={1,3}
+    edges = np.array([[0, 1], [1, 2], [2, 3], [1, 4]])
+    g = make_graph(spark, edges, 5)
+    got = {
+        (r["a"], r["b"]): (r["cn"], r["jaccard"])
+        for r in jaccard_pairs(g, top_k=50).collect()
+    }
+    # non-adjacent pairs w/ common nbr: (0,2),(0,4),(2,4) via 1; (1,3) via 2
+    assert got[(0, 2)] == (1, 0.5)       # 1 / (1+2-1)
+    assert got[(0, 4)] == (1, 1.0)       # 1 / (1+1-1)
+    assert got[(2, 4)] == (1, 0.5)
+    assert got[(1, 3)] == (1, round(1 / 3, 6))  # 1 / (deg(1)+deg(3)-cn) = 1/3
+    assert len(got) == 4
+    g.unpersist()
+
+
+def test_jaccard_pairs_matches_python(spark):
+    import numpy as np
+
+    from linkgraph.operators import jaccard_pairs
+    from tests.conftest import make_graph, zipf_edges
+
+    edges, n = zipf_edges(n=100, m=500)
+    g = make_graph(spark, edges, n)
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in adj[a]:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                want[(a, b)] = (cn, round(cn / len(adj[a] | adj[b]), 6))
+    rows = jaccard_pairs(g, top_k=10_000).collect()
+    got = {(r["a"], r["b"]): (r["cn"], r["jaccard"]) for r in rows}
+    assert got == want
+    g.unpersist()

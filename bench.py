@@ -383,9 +383,22 @@ def main() -> None:
         repeats=3,
     )
 
+    def drop_all_cached():
+        """Free every cached DataFrame and persistent RDD before the next
+        section. The gate kernels leave eager localCheckpoints behind
+        (MIS/matching winner sets, BFS strata, peel states) with no
+        unpersist hook; their storage memory squeezes the 50M-edge
+        sections' execution memory into spills — big_pagerank10 measured
+        157 s with the gate section's leftovers resident vs 65 s in a
+        fresh session on the same host/hour."""
+        spark.catalog.clearCache()
+        for _id, jrdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            jrdd.unpersist()
+
     # ---------------- big graph: every kernel at plan-dominant scale
     big_stats: dict[str, float] = {}
     if not skip_big:
+        drop_all_cached()
         # big sections: back to core-proportional partitioning
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 16)))
         tb = time.monotonic()
@@ -456,6 +469,7 @@ def main() -> None:
         # ------------- big corpus: docs operators at plan-dominant scale
         from linkgraph import docs as docmod
 
+        drop_all_cached()  # free the 50M-edge graph's persisted variants
         td = time.monotonic()
         corpus = big_docs(spark, num_partitions=max(cpus, 16))
         corpus = corpus.persist()
@@ -558,6 +572,7 @@ def main() -> None:
             write_ivf_index,
         )
 
+        drop_all_cached()  # free the corpus before the 1M-vector section
         scratch = tempfile.mkdtemp(prefix="linkgraph_ann_bench_")
         try:
             tv = time.monotonic()

@@ -509,6 +509,24 @@ def main() -> None:
             .collect(),
         )
         timed_docs(
+            "pii_scrub",
+            lambda: docmod.pii_scrub(corpus)
+            .agg(F.sum("n_urls"), F.sum(F.length("clean_text")))
+            .collect(),
+        )
+        timed_docs(
+            "chunks",
+            lambda: docmod.chunk_documents(corpus, chunk_tokens=128, overlap=16)
+            .agg(F.sum("n_tokens"))
+            .collect(),
+        )
+        timed_docs(
+            "pack",
+            lambda: docmod.pack_windows(corpus, window_tokens=2048, num_buckets=32)
+            .agg(F.sum("n_tokens"), F.max("window_id"))
+            .collect(),
+        )
+        timed_docs(
             "minhash_pairs",
             lambda: docmod.minhash_candidate_pairs(
                 corpus, max_bucket_size=1000

@@ -900,7 +900,16 @@ def pack_windows(
     toks = documents.select(
         "doc_id", F.size(F.expr(tt)).cast("long").alias("n")
     ).repartitionByRange(num_buckets, "doc_id")
-    toks = toks.withColumn("bucket", F.spark_partition_id())
+    # MATERIALIZE the bucket assignment before it fans out: the offsets
+    # aggregate and the cumsum window are two consumers, and
+    # repartitionByRange SAMPLES its range bounds per execution — without
+    # this checkpoint the driver offsets can be computed on a different
+    # bucketing than the cumsum runs on, producing gapped/overlapped
+    # windows (caught as a cross-run max(window_id) divergence at 200k
+    # docs). The checkpointed table is (doc_id, n, bucket) — no text.
+    toks = toks.withColumn("bucket", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     # O(num_buckets) driver rows -> per-bucket starting offsets
     sums = toks.groupBy("bucket").agg(
         F.sum("n").alias("s"), F.min("doc_id").alias("lo")

@@ -317,6 +317,17 @@ def _q_fp_overlap(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding-space dedup keep-list (round 5): IVF cell
+    assignment → within-cell 6-dp cosine pairs ≥ 0.3 → components →
+    keep-list. min_sim tuned to the gate embeddings (max pairwise cosine
+    ≈ 0.51, see _q_cosine_dups) so clusters are non-trivial; uncapped
+    cells match the oracle exactly (max_cell_size is the 100 TB knob)."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), num_centroids=16, min_sim=0.3, max_cell_size=None
+    )
+
+
 def _q_ivf_knn(spark, sf_dir):
     """IVF-style ANN: exact rerank within the nprobe nearest centroid
     cells (deterministic md5-ordered seeding, lloyd_iters=0 so the DuckDB
@@ -346,11 +357,12 @@ def _q_clustering_coeff(spark, sf_dir):
 
 def _q_adamic_adar(spark, sf_dir):
     """Top-50 non-adjacent pairs by Adamic-Adar score (round 4) — link
-    prediction from the triangle wedge machinery; uncapped so the oracle
-    matches exactly (max_center_degree is the 100 TB knob)."""
+    prediction from the triangle wedge machinery; max_center_degree=None
+    EXPLICITLY (uncapped) so the oracle matches exactly — the API default
+    is now the degree-quantile auto cap (round 5)."""
     from linkgraph.operators import adamic_adar
 
-    return adamic_adar(_graph(spark, sf_dir), top_k=50)
+    return adamic_adar(_graph(spark, sf_dir), top_k=50, max_center_degree=None)
 
 
 def _q_harmonic8(spark, sf_dir):
@@ -407,6 +419,17 @@ def _q_walks4(spark, sf_dir):
     from linkgraph.operators import random_walks
 
     return random_walks(_graph(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+
+
+def _q_walks_node2vec(spark, sf_dir):
+    """node2vec second-order biased walks (round 5) — p=2/q=0.5 search
+    bias made exact via integer replica weights + hash-argmin; every step
+    value-checks against the unrolled EXISTS-tier oracle."""
+    from linkgraph.operators import node2vec_walks
+
+    return node2vec_walks(
+        _graph(spark, sf_dir), walk_length=3, walks_per_vertex=1, p=2.0, q=0.5
+    )
 
 
 def _q_mis(spark, sf_dir):
@@ -502,10 +525,11 @@ def _q_skipgrams(spark, sf_dir):
 
 def _q_jaccard_pairs(spark, sf_dir):
     """Top-50 non-adjacent pairs by neighborhood Jaccard (round 4) —
-    the adamic_adar wedge pass with a degree-sum union size."""
+    the adamic_adar wedge pass with a degree-sum union size; uncapped
+    explicitly for oracle parity (the API default is the auto cap)."""
     from linkgraph.operators import jaccard_pairs
 
-    return jaccard_pairs(_graph(spark, sf_dir), top_k=50)
+    return jaccard_pairs(_graph(spark, sf_dir), top_k=50, max_center_degree=None)
 
 
 def _q_mean_distance(spark, sf_dir):
@@ -561,42 +585,25 @@ def _q_events_rollup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS LOAD-BEARING: the driver's correctness gate records only the
+    # FIRST 50 keys (VERDICT r04 'Next round' #2). The first block holds one
+    # representative per operator FAMILY; the tail block holds variants that
+    # share an oracle or machinery with an in-window parent
+    # (wcc_large_small_star ≡ wcc, pagerank10_salted ≡ pagerank10,
+    # sssp_hops ≡ bfs, hyperanf ~ neighborhood6, …) — those stay correct
+    # via tools/gatecheck.py, which runs ALL keys.
     return {
+        # --- graph kernels (reference set + extensions), one per family
         "degrees": _q_degrees,
         "pagerank10": _q_pagerank10,
         "wcc": _q_wcc,
-        "wcc_census": _q_wcc_census,
         "labelprop5": _q_labelprop5,
         "triangles": _q_triangles,
-        "triangles_per_vertex": _q_triangles_per_vertex,
-        "wcc_large_small_star": _q_wcc_large_small_star,
-        "pagerank10_salted": _q_pagerank10_salted,
         "bfs": _q_bfs,
-        "bfs_parents": _q_bfs_parents,
         "sssp": _q_sssp,
-        "sssp_hops": _q_sssp_hops,
         "spmv": _q_spmv,
-        "top_pagerank": _q_top_pagerank,
-        "degree_histogram": _q_degree_histogram,
-        "docs_dedup": _q_docs_dedup,
-        "docs_token_stats": _q_docs_token_stats,
-        "quality_filter": _q_quality_filter,
-        "docs_sample": _q_docs_sample,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "knn_cosine": _q_knn_cosine,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "dedup_clusters": _q_dedup_clusters,
-        "lsh_knn": _q_lsh_knn,
-        "cosine_dups": _q_cosine_dups,
-        "knn_join": _q_knn_join,
-        "lsh_knn_batch": _q_lsh_knn_batch,
         "kcore5": _q_kcore5,
         "coreness": _q_coreness,
-        "docs_despan": _q_docs_despan,
-        "fingerprints": _q_fingerprints,
-        "fp_overlap": _q_fp_overlap,
-        "ivf_knn": _q_ivf_knn,
         "personalized_pagerank": _q_personalized_pagerank,
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
@@ -604,28 +611,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering_coeff,
         "adamic_adar": _q_adamic_adar,
         "harmonic8": _q_harmonic8,
-        "closeness8": _q_closeness8,
         "neighborhood6": _q_neighborhood6,
-        "hyperanf": _q_hyperanf,
         "scc": _q_scc,
         "walks4": _q_walks4,
+        "walks_node2vec": _q_walks_node2vec,
         "modularity": _q_modularity,
-        "skipgrams": _q_skipgrams,
         "ktruss4": _q_ktruss4,
-        "tfidf": _q_tfidf,
         "betweenness8": _q_betweenness8,
         "mis": _q_mis,
-        "lm_score": _q_lm_score,
         "matching": _q_matching,
+        "mean_distance": _q_mean_distance,
+        "jaccard_pairs": _q_jaccard_pairs,
+        # --- documents pipeline, one per stage
+        "docs_dedup": _q_docs_dedup,
+        "docs_token_stats": _q_docs_token_stats,
+        "quality_filter": _q_quality_filter,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "semantic_dedup": _q_semantic_dedup,
+        "docs_despan": _q_docs_despan,
+        "fingerprints": _q_fingerprints,
+        "tfidf": _q_tfidf,
+        "lm_score": _q_lm_score,
         "pii_scrub": _q_pii_scrub,
         "chunks": _q_chunks,
         "pack": _q_pack,
+        "stratified_sample": _q_stratified_sample,
+        # --- similarity / ANN
+        "lsh_knn": _q_lsh_knn,
+        "lsh_knn_batch": _q_lsh_knn_batch,
+        "ivf_knn": _q_ivf_knn,
+        # --- events
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
-        "mean_distance": _q_mean_distance,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "stratified_sample": _q_stratified_sample,
         "events_rollup": _q_events_rollup,
+        # ---------------- 50-query window boundary ----------------
+        # variants below share an oracle/machinery with an in-window parent
+        "wcc_census": _q_wcc_census,
+        "wcc_large_small_star": _q_wcc_large_small_star,
+        "pagerank10_salted": _q_pagerank10_salted,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "bfs_parents": _q_bfs_parents,
+        "sssp_hops": _q_sssp_hops,
+        "top_pagerank": _q_top_pagerank,
+        "degree_histogram": _q_degree_histogram,
+        "closeness8": _q_closeness8,
+        "hyperanf": _q_hyperanf,
+        "skipgrams": _q_skipgrams,
+        "docs_sample": _q_docs_sample,
+        "fp_overlap": _q_fp_overlap,
+        "knn_cosine": _q_knn_cosine,
+        "cosine_dups": _q_cosine_dups,
+        "knn_join": _q_knn_join,
     }
 
 
@@ -669,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_knn_batch": osql.lsh_knn_batch_sql(
             qids=[0, 1, 2, 3, 4], k=5, num_bits=4, dim=64, num_bands=2
         ),
+        "semantic_dedup": osql.semantic_dedup_sql(num_centroids=16, min_sim=0.3),
         "kcore5": osql.kcore_sql(k=5, rounds=8),
         "coreness": osql.coreness_sql(rounds=30),
         "docs_despan": osql.despan_sql(min_len=30, keep="first"),
@@ -686,6 +726,9 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood6": osql.neighborhood_sql(max_h=6),
         "scc": osql.scc_sql(),
         "walks4": osql.walks_sql(walk_length=4, walks_per_vertex=2),
+        "walks_node2vec": osql.node2vec_walks_sql(
+            walk_length=3, walks_per_vertex=1, p=2.0, q=0.5
+        ),
         "modularity": osql.modularity_sql(iterations=5),
         "skipgrams": osql.skipgrams_sql(walk_length=4, walks_per_vertex=2, window=2),
         "ktruss4": osql.ktruss_sql(k=4, rounds=14),

@@ -330,7 +330,14 @@ def main() -> None:
         lambda: local_clustering(g).agg(F.sum("lcc")).collect(),
         repeats=3,
     )
-    timed("adamic_adar", lambda: adamic_adar(g, top_k=50).collect(), repeats=3)
+    # uncapped explicitly — same configuration as the gate/oracle cell so
+    # the number stays comparable across rounds (the API default is now
+    # the degree-quantile auto cap)
+    timed(
+        "adamic_adar",
+        lambda: adamic_adar(g, top_k=50, max_center_degree=None).collect(),
+        repeats=3,
+    )
     timed(
         "betweenness8",
         lambda: betweenness(g, sources=list(range(8)))
@@ -359,12 +366,20 @@ def main() -> None:
         .collect(),
         repeats=3,
     )
-    # the 4-truss of the dense gate graph keeps most of the edge set, so
-    # each peel round is a full triangle pass — ~30 s/sample; min-of-2
-    # balances tenancy-proofing against bench minutes
+    # incremental support maintenance (round 5): ONE full triangle pass at
+    # init, decrements per peel round; the recount cell is the A/B twin
+    # (r04's formulation — a full triangle pass EVERY round + a closing
+    # pass) kept as the measured evidence of the improvement
     timed(
         "ktruss4",
         lambda: k_truss(g, k=4).agg(F.sum("support")).collect(),
+        repeats=3,
+    )
+    timed(
+        "ktruss4_recount",
+        lambda: k_truss(g, k=4, incremental=False)
+        .agg(F.sum("support"))
+        .collect(),
         repeats=2,
     )
 
@@ -586,6 +601,7 @@ def main() -> None:
             ivf_centroids,
             ivf_index_topk,
             ivf_index_topk_batch,
+            semantic_dedup,
             write_ann_index,
             write_ivf_index,
         )
@@ -754,31 +770,88 @@ def main() -> None:
             big_stats["ivf_assign_matmul_sec"] = round(mm, 3)
             big_stats["ivf_assign_sql_sec"] = round(sq, 3)
             big_stats["ivf_assign_sql_over_matmul"] = round(sq / mm, 1)
+
+            # ---- semantic dedup at 1M × 256 (round 5, VERDICT r04 #4):
+            # matmul IVF assignment into C=1024 cells (~1k vectors each on
+            # the 64-cluster synthetic corpus) + one BLAS gram matrix per
+            # cell + components + keep-list. min_sim=0.95 sits above the
+            # within-cluster cosine (~0.92), so surviving pairs are the
+            # genuinely near-identical tail, not whole clusters.
+            t = time.monotonic()
+            sd = semantic_dedup(
+                emb,
+                num_centroids=1024,
+                min_sim=0.95,
+                method="matmul",
+                pair_method="matmul",
+                max_cell_size=100_000,
+            )
+            n_keep = sd.filter(F.col("keep")).count()
+            wall = time.monotonic() - t
+            timings["bigsemdedup"] = round(wall, 3)
+            big_stats["semdedup_vecs_per_sec"] = round(BIG_VECS / wall, 1)
+            big_stats["semdedup_keep"] = n_keep
+            big_stats["semdedup_config"] = "C=1024,min_sim=0.95"
             emb.unpersist()
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total kernel wall time (gate graph + 50M-edge Zipf graph)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "n_edges": n_edges,
-                "n_vertices": g.num_vertices,
-                "build_sec": round(build_sec, 3),
-                "cpus": cpus,
-                "big": {"vertices": BIG_V, "edges": BIG_E, **big_stats},
-                # per-query back-to-back samples behind every min-of-3
-                # number of record (gate + docs sections)
-                "samples": samples_log,
-                **extras,
-            }
-        )
+    # FULL record (samples, big-section stats, extras) goes to a sidecar
+    # file: the driver captures only the LAST 2000 bytes of stdout and
+    # parses the final JSON line out of that window — BENCH_r04's single
+    # fat line outgrew the window and the round's numbers of record were
+    # lost (`parsed: null`, VERDICT r04 'Next round' #1).
+    detail = {
+        "metric": "total kernel wall time (gate graph + 50M-edge Zipf graph)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_edges": n_edges,
+        "n_vertices": g.num_vertices,
+        "build_sec": round(build_sec, 3),
+        "cpus": cpus,
+        "big": {"vertices": BIG_V, "edges": BIG_E, **big_stats},
+        # per-query back-to-back samples behind every min-of-3
+        # number of record (gate + docs sections)
+        "samples": samples_log,
+        **extras,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # Compact FINAL line: per-query mins for every section (gate, big
+    # graph, docs, ANN) + the headline throughputs, guaranteed to fit the
+    # driver's 2000-byte tail whole.
+    compact = {
+        "metric": "total kernel wall sec (gate+big+docs+ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_dir,
+        "cpus": cpus,
+        "pr_edges_per_sec_per_iter": extras.get("pr_edges_per_sec_per_iter"),
+        "big_pr_edges_per_sec": big_stats.get("pagerank10_edges_per_sec"),
+        "ann_batch_recall_at_10": big_stats.get("ann_batch_recall_at_10"),
+        "ivf_batch_recall_at_10": big_stats.get("ivf_batch_recall_at_10"),
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # defensive: re-round, then shed newest queries
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+        dropped = 0
+        keys = list(compact["queries"])
+        while len(line) > 1900 and keys:
+            compact["queries"].pop(keys.pop())
+            dropped += 1
+            compact["queries_dropped"] = dropped
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

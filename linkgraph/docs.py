@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "that", "for")
 
-_TOKENIZE = "split(lower(trim(text)), '\\\\s+')"
+# Whitespace tokenizer with an EXPLICIT class (not \s): Java's \s is
+# exactly [ \t\n\x0B\f\r] but RE2's \s omits \x0B, so the DuckDB twins
+# (oracle_sql token/tfidf/lm/chunk/pack SQL) diverged on vertical-tab
+# text (ADVICE r04) — both engines now carry the identical literal class.
+_WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"
+_TOKENIZE = f"split(lower(trim(text)), '{_WS_CLASS_SPARK}')"
 
 # Carter-Wegman universal-hash modulus: 2^31 - 1 (Mersenne prime). Keeps
 # a_i·x + b_i < 2^62 — exact in BIGINT arithmetic in BOTH engines.
@@ -1031,7 +1036,7 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     the deterministic n-gram approach the engine contract asks for; swap
     in a real classifier as a pandas UDF behind the same schema.
     """
-    tok_expr = f"split(lower(trim({text_col})), '\\\\s+')"
+    tok_expr = f"split(lower(trim({text_col})), '{_WS_CLASS_SPARK}')"
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         lst = ", ".join(f"'{m}'" for m in markers)

@@ -37,7 +37,12 @@ from linkgraph.operators.stats import (
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
 from linkgraph.operators.truss import k_truss
-from linkgraph.operators.walks import random_walks, skipgram_pairs, walk_corpus
+from linkgraph.operators.walks import (
+    node2vec_walks,
+    random_walks,
+    skipgram_pairs,
+    walk_corpus,
+)
 from linkgraph.operators.wcc import wcc
 
 __all__ = [
@@ -71,6 +76,7 @@ __all__ = [
     "local_clustering",
     "degree_assortativity",
     "modularity",
+    "node2vec_walks",
     "random_walks",
     "skipgram_pairs",
     "walk_corpus",

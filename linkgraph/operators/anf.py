@@ -40,7 +40,11 @@ def neighborhood_function_exact(graph: Graph, max_h: int = 8) -> DataFrame:
     via MS-BFS from every vertex. Pair state is O(V * avg-ball), so this
     is the small-graph oracle twin of :func:`neighborhood_function`."""
     n = graph.num_vertices
-    dists = multi_source_bfs(graph, range(n), max_iterations=max(64, max_h))
+    # only dist <= max_h is consumed below — capping the MS-BFS depth at
+    # max_h (not 64) stops the O(V·reachable) pair state from expanding
+    # past the consumed horizon on high-eccentricity graphs (ADVICE r04);
+    # matches the oracle's dist < max_h walk cap
+    dists = multi_source_bfs(graph, range(n), max_iterations=max_h)
     per_d = dists.groupBy("dist").agg(F.count(F.lit(1)).alias("c"))
     hs = graph.spark.range(max_h + 1).select(F.col("id").alias("h"))
     return (
@@ -119,7 +123,9 @@ def mean_distance(graph: Graph, max_h: int = 8) -> DataFrame:
     instead). Single division, rounded to 6 dp, so engine and oracle
     agree bit-for-bit."""
     n = graph.num_vertices
-    dists = multi_source_bfs(graph, range(n), max_iterations=max(64, max_h))
+    # depth capped at max_h: deeper pairs are filtered out anyway (see
+    # neighborhood_function_exact)
+    dists = multi_source_bfs(graph, range(n), max_iterations=max_h)
     return (
         dists.filter((F.col("dist") > 0) & (F.col("dist") <= max_h))
         .agg(

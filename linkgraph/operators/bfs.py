@@ -107,7 +107,35 @@ def bfs(
             )
             visited = with_out_deg(visited.select(*cols))
             if "parent" not in visited.columns:
-                visited = visited.withColumn("parent", F.col("id"))
+                # Recompute REAL parents with one edges⋈visited join rather
+                # than fabricating parent=id for every loaded row (ADVICE
+                # r04): v's parent is min(src) among predecessors one level
+                # shallower — exactly the deterministic min-parent the live
+                # loop computes. Root keeps parent=root (its own row has no
+                # dist-1 predecessor, so the coalesce falls back to id —
+                # correct only for dist=0; any other orphan would be a
+                # corrupt store and surfaces as parent=id=orphan).
+                pred = visited.select(
+                    F.col("id").alias("src"), F.col("dist").alias("pdist")
+                )
+                par = (
+                    graph.edges.select("src", "dst").join(pred, "src")
+                    .join(
+                        visited.select("id", "dist"),
+                        (F.col("dst") == F.col("id"))
+                        & (F.col("pdist") == F.col("dist") - 1),
+                    )
+                    .groupBy(F.col("dst").alias("pid"))
+                    .agg(F.min("src").alias("parent"))
+                )
+                visited = visited.join(
+                    par, visited["id"] == par["pid"], "left"
+                ).select(
+                    "id",
+                    "dist",
+                    F.coalesce("parent", "id").alias("parent"),
+                    "out_deg",
+                )
             visited = visited.select("id", "dist", "parent", "out_deg")
         frontier = visited.filter(F.col("dist") == start)
         frontier_size, frontier_degree = delta_stats(frontier)

@@ -86,10 +86,13 @@ def maximal_matching(
         n_alive = nxt.count()  # materializes the round's alive set
         alive = nxt
     else:
-        raise RuntimeError(
-            f"maximal_matching: did not converge in {max_iterations} "
-            f"rounds — raise max_iterations"
-        )
+        # the loop exhausted its rounds — but if the LAST round emptied the
+        # alive set the run converged exactly on the budget, which is success
+        if n_alive != 0:
+            raise RuntimeError(
+                f"maximal_matching: did not converge in {max_iterations} "
+                f"rounds — raise max_iterations"
+            )
 
     if matched is None:
         return alive.select("a", "b").limit(0)

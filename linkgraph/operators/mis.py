@@ -89,11 +89,16 @@ def maximal_independent_set(
         n_alive = nxt.count()  # materializes the round's alive set
         alive = nxt
     else:
-        raise RuntimeError(
-            f"maximal_independent_set: did not converge in {max_iterations} "
-            f"rounds — raise max_iterations"
-        )
+        # the loop exhausted its rounds — but if the LAST round emptied the
+        # alive set the run converged exactly on the budget, which is success
+        if n_alive != 0:
+            raise RuntimeError(
+                f"maximal_independent_set: did not converge in {max_iterations} "
+                f"rounds — raise max_iterations"
+            )
 
+    if mis is None:  # zero-vertex graph: nothing ever entered the loop
+        return graph.vertices().select("id", F.lit(False).alias("in_mis")).limit(0)
     return (
         graph.vertices()
         .join(mis.select("id", F.lit(True).alias("w")), "id", "left")

@@ -69,6 +69,7 @@ def k_truss(
     max_iterations: int = 200,
     degree_oriented: bool = True,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+    incremental: bool = True,
 ) -> DataFrame:
     """Edges of the k-truss of the UNDIRECTED SIMPLE view of ``graph``
     (multi-edges and self-loops ignored): DataFrame(a: long, b: long,
@@ -77,36 +78,120 @@ def k_truss(
     exists. Deterministic — the k-truss is unique (union of all subgraphs
     whose every edge has in-subgraph support ≥ k−2), so peel order cannot
     matter. ``k=2`` returns every canonical edge (support ≥ 0 always).
+
+    ``incremental=True`` (default — VERDICT r04 'Next round' #5) runs the
+    FULL triangle stream exactly once, at initialization; every peel round
+    then only SUBTRACTS the triangles destroyed by that round's peeled
+    edges: triangles touching a peeled edge are found by intersecting the
+    peeled edge's two endpoint neighborhoods (Σ_{peeled} deg rows, not a
+    full O(E^1.5) pass), deduped per triangle, and each SURVIVING edge of
+    a destroyed triangle loses exactly 1 — so a triangle with 1/2/3 peeled
+    edges decrements its 2/1/0 survivors, keeping the maintained support
+    equal to the full recount by induction. One Spark job per round (the
+    peeled count materializes the lazily-checkpointed state). The final
+    support column falls out of the maintained state — no closing full
+    pass either. ``incremental=False`` keeps the recount-every-round
+    formulation for A/B (tests assert identical output).
     """
     if k < 2:
         raise ValueError(f"k must be ≥ 2, got {k}")
     lazy = checkpointer is None
     checkpoint = checkpointer or _default_checkpointer
-    alive = graph.canonical_undirected_edges()
-    alive = alive.localCheckpoint(eager=False) if lazy else checkpoint(alive, 0)
-    n_alive = alive.count()
+    canon = graph.canonical_undirected_edges()
+
+    if not incremental:
+        alive = canon.localCheckpoint(eager=False) if lazy else checkpoint(canon, 0)
+        n_alive = alive.count()
+        for it in range(1, max_iterations + 1):
+            if n_alive == 0:
+                break
+            supp = _edge_support(alive, degree_oriented)
+            nxt = (
+                alive.join(supp, ["a", "b"], "left")
+                .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+                .select("a", "b")
+            )
+            nxt = nxt.localCheckpoint(eager=False) if lazy else checkpoint(nxt, it)
+            n_next = nxt.count()
+            if n_next == n_alive:
+                break
+            alive, n_alive = nxt, n_next
+        else:
+            raise RuntimeError(
+                f"k_truss(k={k}): peel did not converge in {max_iterations} "
+                f"rounds — a long under-support front; raise max_iterations"
+            )
+        supp = _edge_support(alive, degree_oriented)
+        return alive.join(supp, ["a", "b"], "left").select(
+            "a",
+            "b",
+            F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support"),
+        )
+
+    # ---- incremental path: one full support pass, then decrements only
+    supp0 = _edge_support(canon, degree_oriented)
+    sup = canon.join(supp0, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("sup")
+    )
+    sup = sup.localCheckpoint(eager=False) if lazy else checkpoint(sup, 0)
 
     for it in range(1, max_iterations + 1):
-        if n_alive == 0:
-            break
-        supp = _edge_support(alive, degree_oriented)
-        nxt = (
-            alive.join(supp, ["a", "b"], "left")
-            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
-            .select("a", "b")
+        peeled = sup.filter(F.col("sup") < k - 2).select("a", "b")
+        # lazy checkpoint + count: the ONE action of the round — it
+        # materializes sup (and peeled) for the three consumers below
+        peeled = (
+            peeled.localCheckpoint(eager=False)
+            if lazy
+            else checkpoint(peeled, it)
         )
-        nxt = nxt.localCheckpoint(eager=False) if lazy else checkpoint(nxt, it)
-        n_next = nxt.count()
-        if n_next == n_alive:
+        n_peeled = peeled.count()
+        if n_peeled == 0:
             break
-        alive, n_alive = nxt, n_next
+        # triangles of the CURRENT edge set that touch a peeled edge:
+        # w in N(a) ∩ N(b) over the full (survivor ∪ peeled) adjacency
+        adj_a = sup.select("a", F.col("b").alias("w")).unionByName(
+            sup.select(F.col("b").alias("a"), F.col("a").alias("w"))
+        )
+        adj_b = adj_a.select(F.col("a").alias("b"), "w")
+        cand = peeled.join(adj_a, "a").join(adj_b, ["b", "w"])
+        # dedup per triangle: a triangle with 2-3 peeled edges is found
+        # once per peeled edge but must decrement its survivors once
+        tri = cand.select(F.array_sort(F.array("a", "b", "w")).alias("t")).distinct()
+        dec = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("t")[0].alias("a"), F.col("t")[1].alias("b")
+                        ),
+                        F.struct(
+                            F.col("t")[0].alias("a"), F.col("t")[2].alias("b")
+                        ),
+                        F.struct(
+                            F.col("t")[1].alias("a"), F.col("t")[2].alias("b")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .join(peeled, ["a", "b"], "left_anti")  # survivors only
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("d"))
+        )
+        nxt = (
+            sup.filter(F.col("sup") >= k - 2)
+            .join(dec, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (F.col("sup") - F.coalesce(F.col("d"), F.lit(0))).alias("sup"),
+            )
+        )
+        sup = nxt.localCheckpoint(eager=False) if lazy else checkpoint(sup, 1000 + it)
     else:
         raise RuntimeError(
             f"k_truss(k={k}): peel did not converge in {max_iterations} "
             f"rounds — a long under-support front; raise max_iterations"
         )
 
-    supp = _edge_support(alive, degree_oriented)
-    return alive.join(supp, ["a", "b"], "left").select(
-        "a", "b", F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support")
-    )
+    return sup.select("a", "b", F.col("sup").cast("long").alias("support"))

@@ -31,7 +31,7 @@ def _shingles_cte(k: int) -> str:
     (ADVICE r02)."""
     shingle = f"array_to_string(t[i+1:i+{k}], ' ')"
     return f"""toks AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
 ),
 sh AS (
     SELECT DISTINCT doc_id, {_md5_60_duck(shingle)} AS x
@@ -308,7 +308,7 @@ def simhash_sql(bits: int = 60) -> str:
     )
     return f"""
 WITH tk AS (
-    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
     FROM documents
 ),
 hashed AS (SELECT doc_id, {_md5_60_duck('tok')} AS h FROM tk),
@@ -380,7 +380,7 @@ def docs_token_stats_sql() -> str:
     punct = "[^!-/:-@\\[-`{-~]"
     return f"""
 WITH toks AS (
-    SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+    SELECT doc_id, text, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents
 )
 SELECT doc_id,
@@ -427,7 +427,7 @@ def tfidf_sql(top_k: int = 5) -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
     FROM documents
 ),
 tf AS (
@@ -454,7 +454,7 @@ def chunk_documents_sql(chunk_tokens: int = 100, overlap: int = 0) -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                        s -> s <> '') AS tt
     FROM documents
 ),
@@ -487,7 +487,7 @@ def pack_windows_sql(window_tokens: int = 2048) -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                 s -> s <> '')) AS BIGINT) AS n
     FROM documents
 ),
@@ -537,7 +537,7 @@ def lm_cross_entropy_sql(alpha: float = 0.5) -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                        s -> s <> '') AS tt
     FROM documents
 ),
@@ -749,6 +749,53 @@ SELECT vec_a, vec_b, sim FROM (
     FROM bk x JOIN bk y ON ({any_band}) AND x.vec_id < y.vec_id
 )
 WHERE sim >= {min_sim}
+"""
+
+
+def semantic_dedup_sql(num_centroids: int = 16, min_sim: float = 0.3) -> str:
+    """DuckDB twin of similarity.semantic_dedup with lloyd_iters=0: md5-
+    seeded centroids (the ivf_knn_sql seed CTE), argmax-cosine cell
+    assignment with ties to the smaller cid, within-cell pairs at 6-dp
+    cosine ≥ min_sim, recursive-CTE min-label components, keep-list over
+    the full vector set."""
+    return f"""
+WITH RECURSIVE seeds AS (
+    SELECT embedding::DOUBLE[] AS cvec,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+    FROM embeddings
+    QUALIFY cid < {num_centroids}
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cid,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], s.cvec), 6) AS csim
+        FROM embeddings e CROSS JOIN seeds s
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) = 1
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    WHERE sim >= {min_sim}
+),
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.dst AS id, r.lbl FROM sym s JOIN reach r ON s.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       e.vec_id = COALESCE(c.cluster_id, e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
 """
 
 
@@ -1691,6 +1738,68 @@ def _walks_ctes(walk_length: int, walks_per_vertex: int, seed: int) -> tuple[str
         )
     union = "\nUNION ALL\n".join(f"SELECT * FROM s{t}" for t in range(walk_length + 1))
     return ",\n".join(ctes), union
+
+
+def node2vec_walks_sql(
+    walk_length: int = 3,
+    walks_per_vertex: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of operators.walks.node2vec_walks — the same integer
+    replica weights (scaled 1/p, 1, 1/q), same md5-60 hash string
+    seed|walk_id|t|src|dst|r, same (h, dst, r) argmin. State CTEs carry
+    (walk_id, prev, id); the α tier is CASE dst = prev → return weight,
+    EXISTS(prev→dst) → neighbor weight, else far weight."""
+    from fractions import Fraction
+    from math import lcm
+
+    wr_f = Fraction(1) / Fraction(p).limit_denominator(16)  # guards mirror
+    wn_f = Fraction(1)                                       # the engine's
+    wf_f = Fraction(1) / Fraction(q).limit_denominator(16)  # (walks.py)
+    scale = lcm(wr_f.denominator, wn_f.denominator, wf_f.denominator)
+    w_ret, w_nbr, w_far = (int(f * scale) for f in (wr_f, wn_f, wf_f))
+    w_max = max(w_ret, w_nbr, w_far)
+    k = walks_per_vertex
+    ctes = [
+        f"""s0 AS (
+    SELECT v.id * {k} + j.j AS walk_id, CAST(NULL AS BIGINT) AS prev, v.id AS id
+    FROM vertices v CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range({k})) j
+)"""
+    ]
+    for t in range(1, walk_length + 1):
+        h = _md5_60_duck(f"concat_ws('|', {seed}, walk_id, {t}, src, dst, r)")
+        if t == 1:
+            cand = f"""
+        SELECT s.walk_id, e.src, e.dst, 1 AS w
+        FROM s0 s JOIN edges e ON e.src = s.id"""
+        else:
+            cand = f"""
+        SELECT s.walk_id, e.src, e.dst,
+               CASE WHEN e.dst = s.prev THEN {w_ret}
+                    WHEN EXISTS (SELECT 1 FROM edges pe
+                                 WHERE pe.src = s.prev AND pe.dst = e.dst)
+                        THEN {w_nbr}
+                    ELSE {w_far} END AS w
+        FROM s{t - 1} s JOIN edges e ON e.src = s.id"""
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+    SELECT walk_id, src AS prev, dst AS id
+    FROM (
+        SELECT c.walk_id, c.src, c.dst, r.r, {h} AS h
+        FROM ({cand}) c
+        JOIN (SELECT CAST(range AS BIGINT) + 1 AS r FROM range({w_max})) r
+          ON r.r <= c.w
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY h, dst, r) = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, id FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    return f"WITH {EDGES_SQL},\n" + ",\n".join(ctes) + f"\n{union}"
 
 
 def walks_sql(walk_length: int = 4, walks_per_vertex: int = 2, seed: int = 42) -> str:

@@ -557,6 +557,185 @@ def _assign_with_cents(
     )
 
 
+# store layout for semantic_dedup (mirrors docs.dedup_clusters):
+# assignment commits at 0, verified pairs at 1, component rounds at 2+
+_SEMDEDUP_ASSIGN_IT = 0
+_SEMDEDUP_PAIRS_IT = 1
+
+
+def _cell_pairs_matmul(av: DataFrame, min_sim: float) -> DataFrame:
+    """(doc_a, doc_b) pairs with 6-dp cosine ≥ min_sim WITHIN each cid
+    group of ``av`` (cid, vec_id, v) — one BLAS gram matrix per cell via
+    applyInPandas instead of an O(cell²) row join + per-pair SQL
+    aggregate/zip_with (~100× more per element). A cell must fit one
+    Arrow group (bounded by semantic_dedup's max_cell_size)."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        gram = (m / norms) @ (m / norms).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sims = np.round(gram[iu, ju], 6)
+        mask = sims >= min_sim
+        ia, ib = ids[iu[mask]], ids[ju[mask]]
+        return pd.DataFrame(
+            {"doc_a": np.minimum(ia, ib), "doc_b": np.maximum(ia, ib)}
+        )
+
+    return av.groupBy("cid").applyInPandas(pairs, "doc_a long, doc_b long")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    min_sim: float = 0.95,
+    lloyd_iters: int = 0,
+    method: str = "sql",
+    pair_method: str = "sql",
+    max_cell_size: int | None = 100_000,
+    store=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, keep) — SemDeDup-style embedding-space
+    deduplication (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, score EXACT cosine only within cells, and keep one
+    representative per connected near-duplicate group.
+
+    Composition (each stage an operator this module already ships —
+    the embedding twin of docs.dedup_clusters, VERDICT r04 'Next' #4):
+      1. IVF cell assignment (:func:`ivf_assign` — md5-seeded centroids,
+         ``lloyd_iters=0``/``method='sql'`` keeps the DuckDB oracle exact;
+         at scale pass ``lloyd_iters>0, method='matmul'`` and more cells)
+      2. within-cell pairs with 6-dp cosine ≥ ``min_sim`` — never
+         all-pairs: the self-join is equi-keyed on cid, and cells over
+         ``max_cell_size`` are dropped (recall cost, audited by
+         :func:`semantic_dedup_dropped_cells`)
+      3. connected components over the pair graph (docs'
+         _components_over_pairs — sparse ids, pointer-jumped,
+         O(duplicates) state)
+      4. keep-list: cluster_id = min vec_id of the group, keep =
+         (vec_id == cluster_id); vectors in no pair are singletons.
+
+    ``store`` (runner.CheckpointStore) gives the same durable-resume
+    semantics as dedup_clusters: assignment commits at iteration 0, pairs
+    at 1, each component round at 2+r; a relaunch skips completed stages.
+    Same caveat: pass identical parameters on relaunch."""
+    from linkgraph.docs import _components_over_pairs
+
+    latest = store.latest_iteration() if store is not None else None
+
+    if latest is not None and latest >= _SEMDEDUP_ASSIGN_IT:
+        assign = store.load(_SEMDEDUP_ASSIGN_IT)
+    else:
+        assign = ivf_assign(
+            embeddings,
+            num_centroids=num_centroids,
+            lloyd_iters=lloyd_iters,
+            method=method,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        assign = (
+            store.checkpointer(assign, _SEMDEDUP_ASSIGN_IT)
+            if store is not None
+            else assign.localCheckpoint(eager=True)
+        )
+
+    if latest is not None and latest >= _SEMDEDUP_PAIRS_IT:
+        pairs = store.load(_SEMDEDUP_PAIRS_IT)
+    else:
+        av = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ).join(assign, "vec_id")
+        if max_cell_size is not None:
+            sizes = assign.groupBy("cid").agg(F.count("*").alias("csz"))
+            av = av.join(sizes, "cid").filter(
+                F.col("csz") <= max_cell_size
+            ).drop("csz")
+        # materialize once: av feeds BOTH sides of the self-join (the
+        # fan-out-recompute pitfall — without this the pandas-UDF/SQL
+        # assignment runs twice)
+        av = av.localCheckpoint(eager=True)
+        if pair_method == "matmul":
+            # scale path: one BLAS gram matrix per cell (the actual
+            # SemDeDup implementation shape); same 6-dp threshold
+            pairs = _cell_pairs_matmul(av, min_sim)
+        elif pair_method == "sql":
+            a = av.select(
+                "cid", F.col("vec_id").alias("doc_a"), F.col("v").alias("va")
+            )
+            b = av.select(
+                "cid", F.col("vec_id").alias("doc_b"), F.col("v").alias("vb")
+            )
+            pairs = (
+                a.join(b, "cid")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.round(
+                        _dot("va", "vb")
+                        / F.nullif(_norm("va") * _norm("vb"), F.lit(0.0)),
+                        6,
+                    ).alias("sim"),
+                )
+                .filter(F.col("sim") >= min_sim)
+                .select("doc_a", "doc_b")
+            )
+        else:
+            raise ValueError(
+                f"unknown pair_method {pair_method!r} (want 'sql' or 'matmul')"
+            )
+        pairs = (
+            store.checkpointer(pairs, _SEMDEDUP_PAIRS_IT)
+            if store is not None
+            else pairs.localCheckpoint(eager=True)
+        )
+
+    comp = _components_over_pairs(pairs, store=store)
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(comp.select(F.col("doc_id").alias("vec_id"), "cluster_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+            (
+                F.col("vec_id")
+                == F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_dropped_cells(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    max_cell_size: int | None = 100_000,
+    lloyd_iters: int = 0,
+    method: str = "sql",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, csz) of cells semantic_dedup's cap would drop — the audit
+    surface (same contract as docs.minhash_dropped_buckets: a silent cap
+    reads as 'covered everything' when it didn't)."""
+    assign = ivf_assign(
+        embeddings,
+        num_centroids=num_centroids,
+        lloyd_iters=lloyd_iters,
+        method=method,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("csz"))
+    if max_cell_size is None:
+        return sizes.limit(0)
+    return sizes.filter(F.col("csz") > max_cell_size)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -73,3 +73,29 @@ def test_ktruss_orientation_invariant(spark):
     b = sorted(map(tuple, k_truss(g, k=4, degree_oriented=False).collect()))
     assert a == b
     g.unpersist()
+
+
+def test_ktruss_incremental_identical_to_recount(spark):
+    # the incremental-decrement default must be BYTE-identical to the
+    # recount-every-round formulation (VERDICT r04 'Next round' #5),
+    # including on a graph with a deep peel front (k=4 peels the
+    # pendant-triangle fringe in several waves)
+    edges, n = zipf_edges(n=150, m=1200)
+    g = make_graph(spark, edges, n)
+    inc = sorted(map(tuple, k_truss(g, k=4, incremental=True).collect()))
+    rec = sorted(map(tuple, k_truss(g, k=4, incremental=False).collect()))
+    assert inc == rec and len(inc) > 0
+    g.unpersist()
+
+
+def test_ktruss_incremental_multi_peeled_triangle(spark):
+    # two triangles sharing edge (0,1): peeling both outer triangles'
+    # edges in ONE round must decrement the shared edge exactly twice
+    # (once per destroyed triangle) — the dedup-per-triangle subtlety
+    edges = np.array([[0, 1], [0, 2], [1, 2], [0, 3], [1, 3]])
+    g = make_graph(spark, edges, 4)
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=4).collect()}
+    assert got == _truss_py(edges, 4) == {}
+    got3 = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=3).collect()}
+    assert got3 == _truss_py(edges, 3)
+    g.unpersist()

@@ -127,3 +127,111 @@ def test_skipgram_window_one_is_adjacent_bigrams(spark):
         for r in skipgram_pairs(corpus, window=1).collect()
     }
     assert got == {(1, 2): 1, (2, 1): 1, (2, 3): 1, (3, 2): 1}
+
+
+# ------------------------------------------------------------- node2vec
+def _node2vec_py(
+    edges: np.ndarray,
+    n: int,
+    walk_length: int,
+    k: int,
+    seed: int,
+    w_ret: int,
+    w_nbr: int,
+    w_far: int,
+) -> set[tuple[int, int, int]]:
+    """Sequential replication of operators.walks.node2vec_walks: exact
+    weighted draw via replica hashing — candidate u with weight w expands
+    to replicas r=1..w; argmin of (md5_60(seed|wid|t|cur|u|r), u, r)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(int(s), set()).add(int(d))
+    rows = set()
+    for v in range(n):
+        for j in range(k):
+            wid, prev, cur = v * k + j, None, v
+            rows.add((wid, 0, cur))
+            for t in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                best = None
+                for u in sorted(nbrs):
+                    if t == 1:
+                        w = 1
+                    elif u == prev:
+                        w = w_ret
+                    elif u in adj.get(prev, ()):
+                        w = w_nbr
+                    else:
+                        w = w_far
+                    for r in range(1, w + 1):
+                        key = (_md5_60(f"{seed}|{wid}|{t}|{cur}|{u}|{r}"), u, r)
+                        if best is None or key < best[0]:
+                            best = (key, u)
+                prev, cur = cur, best[1]
+                rows.add((wid, t, cur))
+    return rows
+
+
+def test_node2vec_matches_hashlib_replication(spark):
+    from linkgraph.operators import node2vec_walks
+
+    edges, n = zipf_edges(n=120, m=700)
+    g = make_graph(spark, edges, n)
+    got = {
+        (r["walk_id"], r["step"], r["id"])
+        for r in node2vec_walks(
+            g, walk_length=3, walks_per_vertex=2, p=2.0, q=0.5, seed=7
+        ).collect()
+    }
+    # p=2, q=0.5 → weights 1/p : 1 : 1/q = 0.5 : 1 : 2, scaled ×2 → 1, 2, 4
+    assert got == _node2vec_py(edges, n, 3, 2, 7, 1, 2, 4)
+    g.unpersist()
+
+
+def test_node2vec_p1_q1_single_replica_is_deepwalk(spark):
+    # p=q=1 → all weights 1 → one replica per candidate: the biased walk
+    # degenerates to a first-order uniform walk, but with the r suffix in
+    # the hash it is its OWN determinism class (not byte-equal to
+    # random_walks) — pin it against the python replication instead
+    from linkgraph.operators import node2vec_walks
+
+    edges, n = zipf_edges(n=80, m=400)
+    g = make_graph(spark, edges, n)
+    got = {
+        (r["walk_id"], r["step"], r["id"])
+        for r in node2vec_walks(
+            g, walk_length=3, walks_per_vertex=1, p=1.0, q=1.0, seed=3
+        ).collect()
+    }
+    assert got == _node2vec_py(edges, n, 3, 1, 3, 1, 1, 1)
+    g.unpersist()
+
+
+def test_node2vec_every_hop_is_an_edge_and_dead_ends_stop(spark):
+    from linkgraph.operators import node2vec_walks
+
+    edges, n = chain_edges(5)  # 0→1→2→3→4, sink at 4
+    g = make_graph(spark, edges, n)
+    rows = node2vec_walks(g, walk_length=10, walks_per_vertex=1, seed=1).collect()
+    by_walk: dict[int, list] = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], []).append((r["step"], r["id"]))
+    for v in range(n):
+        assert sorted(by_walk[v]) == [(t, v + t) for t in range(n - v)]
+    g.unpersist()
+
+
+def test_node2vec_rejects_non_dyadic_bias(spark):
+    import pytest
+
+    from linkgraph.operators import node2vec_walks
+
+    edges, n = chain_edges(4)
+    g = make_graph(spark, edges, n)
+    with pytest.raises(ValueError, match="replica weights"):
+        node2vec_walks(g, p=128.0, q=1.0)  # 1/p scales the others to 128
+    with pytest.raises(ValueError, match="p=|q="):
+        node2vec_walks(g, p=1.0, q=0.001)  # q rounds to 0 → no valid tier
+    g.unpersist()

@@ -1,0 +1,124 @@
+"""Scaling-efficiency evidence for the DOCS pipeline: the identical
+dedup_clusters / lm_score job at two parallelism levels (N and 4N cores)
+on the same in-Spark-generated corpus — the N-vs-4N protocol of
+tools/scaling_bench.py applied to the most expensive non-graph surface
+(VERDICT r04 'Next round' #6).
+
+Same parallelism pair as the graph bench (local[2] vs local[8] — below
+this host's shared-tenancy contention knee, rationale in
+scaling_bench.py), same fixed shuffle.partitions at both levels
+(identical physical plan; only executor-thread count changes). The
+corpus is bench.big_docs at a size where compute dominates the fixed
+per-job driver latency; the operator runs ``REPEATS`` back-to-back times
+per level and the MIN wall is the number of record (tenancy only ever
+adds time).
+
+Usage:  python tools/scaling_docs_bench.py [dedup_clusters|lm_score]
+        python tools/scaling_docs_bench.py --child 8 dedup_clusters
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_DOCS = 100_000
+SHUFFLE_PARTITIONS = 64
+CORES_LOW = 2
+CORES_HIGH = 8
+REPEATS = 3
+
+
+def child(cores: int, op: str) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    import bench
+    from linkgraph import docs as docmod
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-docs-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    bench.BIG_DOCS = N_DOCS
+    corpus = bench.big_docs(spark, num_partitions=SHUFFLE_PARTITIONS).persist()
+    corpus.count()  # materialize before timing
+
+    def run_once() -> None:
+        if op == "dedup_clusters":
+            docmod.dedup_clusters(corpus, max_bucket_size=1000).count()
+        elif op == "lm_score":
+            docmod.lm_cross_entropy(corpus).agg(F.sum("cross_entropy")).collect()
+        else:
+            raise ValueError(f"unknown op {op!r}")
+
+    samples = []
+    for _ in range(REPEATS):
+        t = time.monotonic()
+        run_once()
+        samples.append(round(time.monotonic() - t, 3))
+    best = min(samples)
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "op": op,
+                "n_docs": N_DOCS,
+                "samples_sec": samples,
+                "min_sec": best,
+                "docs_per_sec": round(N_DOCS / best, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def parent(op: str) -> None:
+    results = {}
+    for cores in (CORES_LOW, CORES_HIGH):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores), op],
+            capture_output=True, text=True, timeout=5400,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"child {cores} produced no JSON")
+        results[cores] = json.loads(lines[-1])
+    ratio = CORES_HIGH / CORES_LOW
+    tlo = results[CORES_LOW]["docs_per_sec"]
+    thi = results[CORES_HIGH]["docs_per_sec"]
+    eff = (thi / tlo) / ratio
+    print(
+        json.dumps(
+            {
+                "metric": f"{op} throughput scaling, local[{CORES_LOW}] vs local[{CORES_HIGH}]",
+                f"throughput_{CORES_LOW}": tlo,
+                f"throughput_{CORES_HIGH}": thi,
+                "speedup": round(thi / tlo, 3),
+                "scaling_efficiency": round(eff, 3),
+                "target": 0.8,
+                "pass": eff >= 0.8,
+                "detail": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "dedup_clusters")
+    else:
+        parent(sys.argv[1] if len(sys.argv) > 1 else "dedup_clusters")

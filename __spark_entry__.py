@@ -162,6 +162,15 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (round 5): flag corpus docs sharing any
+    8-token shingle with the probe slice doc_id % 17 == 0 (the gate's
+    stand-in for a benchmark test set); probe hashes broadcast, corpus
+    text never shuffles."""
+    d = _docs(spark, sf_dir)
+    return docs.decontaminate(d, d.filter(F.col("doc_id") % 17 == 0), k=8)
+
+
 def _q_docs_dedup(spark, sf_dir):
     return docs.exact_dedup(_docs(spark, sf_dir))
 
@@ -649,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         # ---------------- 50-query window boundary ----------------
         # variants below share an oracle/machinery with an in-window parent
+        # (decontaminate rides the in-window n-gram shingle family)
+        "decontaminate": _q_decontaminate,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
         "pagerank10_salted": _q_pagerank10_salted,
@@ -687,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "top_pagerank": osql.top_pagerank_sql(10, 20),
         "degree_histogram": osql.degree_histogram_sql(),
         "docs_dedup": osql.docs_dedup_sql(),
+        "decontaminate": osql.decontaminate_sql(k=8, probe_mod=17),
         "docs_token_stats": osql.docs_token_stats_sql(),
         "quality_filter": osql.quality_filter_sql(),
         "docs_sample": osql.docs_sample_sql(rate=0.25),

@@ -47,6 +47,8 @@ ALGOS = (
     "ktruss",
     "mis",
     "matching",
+    "walks",
+    "node2vec",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -71,7 +73,7 @@ EVENT_ALGOS = ("sessionize", "rollup", "funnel")
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
-ANN_ALGOS = ("ann_index", "ivf_index", "ann_query", "ivf_query")
+ANN_ALGOS = ("ann_index", "ivf_index", "ann_query", "ivf_query", "semantic_dedup")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -114,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket", default="hour", help="--algo rollup time bucket")
     p.add_argument("--min-span-len", type=int, default=50,
                    help="minimum repeated-span length (chars) for --algo despan")
+    p.add_argument("--walk-length", type=int, default=4, help="hops for walks/node2vec")
+    p.add_argument("--walks-per-vertex", type=int, default=1)
+    p.add_argument("--p", type=float, default=2.0, help="node2vec return bias")
+    p.add_argument("--q", type=float, default=0.5, help="node2vec in-out bias")
+    p.add_argument("--min-sim", type=float, default=0.95,
+                   help="cosine threshold for --algo semantic_dedup")
+    p.add_argument("--max-cell-size", type=int, default=100_000,
+                   help="semantic_dedup IVF cell cap (0 = uncapped)")
     p.add_argument("--index", help="written ANN/IVF index path for *_query algos")
     p.add_argument("--topk", type=int, default=10, help="neighbors per query for *_query algos")
     p.add_argument("--nprobe", type=int, default=2, help="probed cells for --algo ivf_query")
@@ -207,6 +217,22 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import maximal_matching
 
         result = maximal_matching(g)
+    elif args.algo == "walks":
+        from linkgraph.operators import random_walks
+
+        result = random_walks(
+            g, walk_length=args.walk_length, walks_per_vertex=args.walks_per_vertex
+        )
+    elif args.algo == "node2vec":
+        from linkgraph.operators import node2vec_walks
+
+        result = node2vec_walks(
+            g,
+            walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            p=args.p,
+            q=args.q,
+        )
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 
@@ -372,6 +398,36 @@ def _run_ann_index(spark: SparkSession, args) -> int:
             )
         result.write.mode("overwrite").parquet(args.output)
         extra["n_queries"] = len(queries)
+    elif args.algo == "semantic_dedup":
+        # embedding-space keep-list; honors --checkpoint-root/--run-id
+        # (durable multi-stage resume) and writes the dropped-cells audit
+        # beside the result so a capped run is never silently partial
+        store = None
+        if args.checkpoint_root:
+            store = CheckpointStore(
+                spark, args.checkpoint_root, args.algo, args.run_id
+            )
+        cell_cap = args.max_cell_size if args.max_cell_size > 0 else None
+        result = similarity.semantic_dedup(
+            embeddings,
+            num_centroids=args.num_centroids,
+            min_sim=args.min_sim,
+            method="matmul",
+            pair_method="matmul",
+            max_cell_size=cell_cap,
+            store=store,
+        )
+        result.write.mode("overwrite").parquet(args.output)
+        audit = similarity.semantic_dedup_dropped_cells(
+            embeddings,
+            num_centroids=args.num_centroids,
+            max_cell_size=cell_cap,
+            method="matmul",
+        )
+        audit_path = args.output.rstrip("/") + "_dropped_cells"
+        audit.write.mode("overwrite").parquet(audit_path)
+        extra["dropped_cells_output"] = audit_path
+        extra["dropped_cells"] = spark.read.parquet(audit_path).count()
     elif args.algo == "ann_index":
         similarity.write_ann_index(
             embeddings,

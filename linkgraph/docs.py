@@ -179,6 +179,34 @@ def shingle_hashes(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def decontaminate(documents: DataFrame, probes: DataFrame, k: int = 13) -> DataFrame:
+    """(doc_id, contaminated) over the FULL corpus: contaminated = the
+    document shares at least one k-token shingle with ANY probe document —
+    the benchmark-decontamination stage of a training pipeline (GPT-3
+    appendix C / Lee et al. 2022 use 13-gram overlap against test sets).
+
+    ``probes`` is a (doc_id, text, ...) table of the protected documents
+    (benchmark test sets). Plan shape: the probe shingle-hash set is
+    DISTINCT (tiny — benchmarks are small relative to any training
+    corpus, so Catalyst/AQE broadcasts it), the corpus side is ONE
+    shingle pass semi-joined against it — never a corpus self-join, and
+    the corpus never shuffles its text: only 8-byte hashes move. Same
+    md5-60 shingles as the near-dup family, so the DuckDB oracle
+    reproduces every value (oracle_sql.decontaminate_sql)."""
+    probe_sh = shingle_hashes(probes, k=k).select("x").distinct()
+    flagged = (
+        shingle_hashes(documents, k=k)
+        .join(probe_sh, "x", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        documents.select("doc_id")
+        .join(flagged.withColumn("c", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("c"), F.lit(False)).alias("contaminated"))
+    )
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, k: int = 5, seed: int = 42
 ) -> DataFrame:

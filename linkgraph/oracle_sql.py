@@ -362,6 +362,20 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def decontaminate_sql(k: int = 8, probe_mod: int = 17) -> str:
+    """DuckDB twin of docs.decontaminate with probes = the gate corpus
+    slice doc_id % probe_mod == 0 (the gate has no separate benchmark
+    table, so the probe set is a deterministic subset — the operator
+    itself takes any probe DataFrame)."""
+    return f"""
+WITH {_shingles_cte(k)},
+probe AS (SELECT DISTINCT x FROM sh WHERE doc_id % {probe_mod} = 0),
+flagged AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p ON s.x = p.x)
+SELECT d.doc_id, f.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+"""
+
+
 def docs_dedup_sql() -> str:
     return """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
@@ -1393,24 +1407,29 @@ def hits_sql(iterations: int = 5) -> str:
     1-row L2-norm CTE, and a full-vertex-set normalized-score CTE — the
     DuckDB twin of operators/hits.py (same order: auth from the previous
     hub, then hub from the NEW auth)."""
-    parts = ["h0 AS (SELECT id, 1.0 AS hub FROM vertices)"]
+    # AS MATERIALIZED on every round CTE: each is referenced 2-3 times
+    # (score join + its own norm + the next half-step) — without it DuckDB
+    # re-inlines the whole chain per reference, ~4^rounds re-evaluations
+    # (the kcore_sql hazard; this oracle measured 10+ minutes at sf0.001
+    # before the fix, sub-second after)
+    parts = ["h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM vertices)"]
     for i in range(1, iterations + 1):
         parts.append(
-            f"""ar{i} AS (
+            f"""ar{i} AS MATERIALIZED (
     SELECT e.dst AS id, SUM(h.hub) AS s
     FROM edges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst
 ),
-an{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM ar{i}),
-a{i} AS (
+an{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm FROM ar{i}),
+a{i} AS MATERIALIZED (
     SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS auth
     FROM vertices v LEFT JOIN ar{i} r ON v.id = r.id CROSS JOIN an{i} n
 ),
-hr{i} AS (
+hr{i} AS MATERIALIZED (
     SELECT e.src AS id, SUM(a.auth) AS s
     FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
 ),
-hn{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM hr{i}),
-h{i} AS (
+hn{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm FROM hr{i}),
+h{i} AS MATERIALIZED (
     SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS hub
     FROM vertices v LEFT JOIN hr{i} r ON v.id = r.id CROSS JOIN hn{i} n
 )"""

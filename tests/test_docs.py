@@ -1037,3 +1037,30 @@ def test_stratified_sample_matches_hash_and_is_monotone(spark):
     assert got <= kept({"en": 0.8, "de": 0.2})
     # default_rate applies to strata without an explicit rate
     assert {i for i in kept({}, default=1.0)} == set(range(300))
+
+
+def test_decontaminate_flags_probe_overlap(spark):
+    """Round-5 benchmark-decontamination stage: a corpus doc is flagged
+    iff it shares at least one k-token shingle with ANY probe doc —
+    probes are an independent table (benchmark test sets), not a corpus
+    slice."""
+    from linkgraph.docs import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon", "en", "s", 0),   # contains probe trigram
+            (1, "one two three four five", "en", "s", 0),          # disjoint
+            (2, "x beta gamma delta y", "en", "s", 0),             # same trigram, shifted
+            (3, "beta delta gamma", "en", "s", 0),                 # right words, wrong order
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    probes = spark.createDataFrame(
+        [(100, "JUNK beta gamma delta JUNK", "en", "bench", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, probes, k=3).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False}

@@ -171,6 +171,7 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
     ivf_out = str(tmp_path / "ivfidx")
     annq_out = str(tmp_path / "annq")
     ivfq_out = str(tmp_path / "ivfq")
+    semdedup_out = str(tmp_path / "semdedup")
     wrapper = workdir / "both.py"
     wrapper.write_text(
         "import driver\n"
@@ -199,6 +200,11 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
         f"rc = driver.main(['--algo', 'ivf_query', '--embeddings', {emb_path!r},"
         f" '--index', {ivf_out!r}, '--output', {ivfq_out!r},"
         f" '--topk', '3', '--nprobe', '2'])\n"
+        "assert rc == 0, rc\n"
+        # round 5: embedding-space keep-list + dropped-cells audit sidecar
+        f"rc = driver.main(['--algo', 'semantic_dedup', '--embeddings', {emb_path!r},"
+        f" '--output', {semdedup_out!r}, '--num-centroids', '4',"
+        f" '--min-sim', '0.95'])\n"
         "assert rc == 0, rc\n"
     )
 
@@ -235,6 +241,13 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
     audit = spark.read.parquet(pairs_out + "_dropped_buckets")
     assert audit.count() == 0
     assert set(audit.columns) == {"band", "bucket", "size"}
+
+    sd = spark.read.parquet(semdedup_out).toPandas()
+    assert set(sd.columns) == {"vec_id", "cluster_id", "keep"}
+    assert len(sd) == 40  # every vector classified
+    sd_audit = spark.read.parquet(semdedup_out + "_dropped_cells")
+    assert sd_audit.count() == 0  # 40 gaussian vecs: no cell over the cap
+    assert set(sd_audit.columns) == {"cid", "csz"}
 
     from linkgraph.similarity import ann_index_topk
 

@@ -72,8 +72,18 @@ def adamic_adar(
     if cap is not None:
         deg = deg.filter(F.col("d") <= cap)
     # every wedge center carries its own degree into the pair aggregate —
-    # one join BEFORE the self-join, not one per wedge side
-    sd = sym.join(deg, "w").select("w", "x", (1.0 / F.log("d")).alias("inv_ln_d"))
+    # one join BEFORE the self-join, not one per wedge side. The d=1 guard
+    # is load-bearing under ANSI mode (Spark 4 default): 1/ln(1) raises
+    # DIVIDE_BY_ZERO whenever the plan evaluates the projection before the
+    # pair join prunes the row — and a degree-1 center can never produce a
+    # wedge pair, so the 0.0 placeholder never reaches the aggregate.
+    sd = sym.join(deg, "w").select(
+        "w",
+        "x",
+        F.when(F.col("d") > 1, F.lit(1.0) / F.log("d"))
+        .otherwise(F.lit(0.0))
+        .alias("inv_ln_d"),
+    )
     s1 = sd.select("w", F.col("x").alias("a"), "inv_ln_d")
     s2 = sd.select("w", F.col("x").alias("b"))
     scored = (

@@ -26,7 +26,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_DOCS = 100_000
+# corpus size: bigger corpora shrink the pipeline's fixed per-job driver
+# latency relative to wall, so efficiency rises with size (the knee
+# analysis in BASELINE.md) — override to measure the trend
+N_DOCS = int(os.environ.get("SCALING_DOCS_N", "100000"))
 SHUFFLE_PARTITIONS = 64
 CORES_LOW = 2
 CORES_HIGH = 8

@@ -162,6 +162,23 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_conductance(spark, sf_dir):
+    """Per-community conductance of the labelprop5 partition (round 5) —
+    the per-community quality metric beside the in-window global
+    modularity; same two label joins + degree aggregate."""
+    from linkgraph.operators import conductance, label_propagation
+
+    g = _graph(spark, sf_dir)
+    return conductance(g, label_propagation(g, iterations=5))
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition quality rules (round 5): per-doc duplicate-2-gram
+    fraction and top-2-gram share — two partial-agg groupBys, no joins
+    beyond the row-preserving corpus re-attach."""
+    return docs.repetition_stats(_docs(spark, sf_dir), n=2)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (round 5): flag corpus docs sharing any
     8-token shingle with the probe slice doc_id % 17 == 0 (the gate's
@@ -658,8 +675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         # ---------------- 50-query window boundary ----------------
         # variants below share an oracle/machinery with an in-window parent
-        # (decontaminate rides the in-window n-gram shingle family)
+        # (decontaminate + repetition_stats ride the in-window n-gram /
+        # token-stats shingle families)
         "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "conductance": _q_conductance,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
         "pagerank10_salted": _q_pagerank10_salted,
@@ -699,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": osql.degree_histogram_sql(),
         "docs_dedup": osql.docs_dedup_sql(),
         "decontaminate": osql.decontaminate_sql(k=8, probe_mod=17),
+        "repetition_stats": osql.repetition_stats_sql(n=2),
+        "conductance": osql.conductance_sql(iterations=5),
         "docs_token_stats": osql.docs_token_stats_sql(),
         "quality_filter": osql.quality_filter_sql(),
         "docs_sample": osql.docs_sample_sql(rate=0.25),

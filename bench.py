@@ -542,6 +542,22 @@ def main() -> None:
             .collect(),
         )
         timed_docs(
+            "repetition_stats",
+            # sum of a computed fraction — consumes the aggregate chain
+            lambda: docmod.repetition_stats(corpus, n=2)
+            .agg(F.sum("dup_ngram_frac"))
+            .collect(),
+        )
+        timed_docs(
+            "decontaminate",
+            # probes = a 1/50 corpus slice standing in for a benchmark set
+            lambda: docmod.decontaminate(
+                corpus, corpus.filter(F.col("doc_id") % 50 == 0), k=13
+            )
+            .agg(F.sum(F.col("contaminated").cast("long")))
+            .collect(),
+        )
+        timed_docs(
             "minhash_pairs",
             lambda: docmod.minhash_candidate_pairs(
                 corpus, max_bucket_size=1000

@@ -131,6 +131,45 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_ngrams, dup_ngram_frac, top_ngram_frac) — the Gopher
+    repetition quality rules (Rae et al. 2021 §A1.1): the fraction of a
+    document's n-grams that are repeats (1 − distinct/total) and the
+    fraction claimed by the single most frequent n-gram. High values flag
+    boilerplate/spam; Gopher drops docs above per-n thresholds.
+
+    Plan shape: the raw n-gram stream (the shingle machinery — tokenize
+    bound once per doc) into two partial-agg groupBys keyed by
+    (doc_id, ngram) then doc_id — no joins beyond the final row-preserving
+    left join back to the corpus; zero-gram docs report 0.0 (ANSI-safe
+    guards, not bare division)."""
+    ng = _shingle_stream(documents, n)
+    grp = ng.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    per = grp.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("dist"),
+        F.max("c").alias("topc"),
+    )
+    tot = F.col("total").cast("double")
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.when(
+                F.col("total") > 0,
+                F.round((F.col("total") - F.col("dist")) / tot, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ngram_frac"),
+            F.when(F.col("total") > 0, F.round(F.col("topc") / tot, 6))
+            .otherwise(F.lit(0.0))
+            .alias("top_ngram_frac"),
+        )
+    )
+
+
 def _shingle_stream(documents: DataFrame, k: int) -> DataFrame:
     """(doc_id, shingle) — k-gram token shingles, RAW (duplicates kept):
     no shuffle. Consumers that need set semantics dedup on the 60-bit

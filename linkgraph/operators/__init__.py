@@ -29,6 +29,7 @@ from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.scc import scc, scc_census
 from linkgraph.operators.spmv import spmv
 from linkgraph.operators.stats import (
+    conductance,
     degree_assortativity,
     local_clustering,
     modularity,
@@ -75,6 +76,7 @@ __all__ = [
     "reciprocity",
     "local_clustering",
     "degree_assortativity",
+    "conductance",
     "modularity",
     "node2vec_walks",
     "random_walks",

@@ -115,6 +115,64 @@ def modularity(graph: Graph, labels: DataFrame, label_col: str = "label") -> Dat
     )
 
 
+def conductance(
+    graph: Graph, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """(label, vol, cut, conductance) per community of the vertex
+    partition ``labels`` over the undirected simple view —
+
+        φ(S) = cut(S) / min(vol(S), 2m − vol(S))
+
+    with vol(S) the summed degree of S, cut(S) the edges leaving S, and
+    m the undirected simple edge count. The per-community quality number
+    beside the global modularity (Kannan-Vempala-Vetta 2004): low φ =
+    well-separated community. Plan: the SAME two label joins on the
+    canonical edge set as modularity (each cross-label edge credits BOTH
+    sides' cuts via an in-array explode), one degree-by-label aggregate,
+    a broadcast 1-row m; communities with min(vol, 2m−vol) = 0 (isolated
+    vertices) report φ = 0. Rounded to 6 dp."""
+    canon = graph.canonical_undirected_edges()
+    la = labels.select(F.col("id").alias("a"), F.col(label_col).alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col(label_col).alias("lb"))
+    cut = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.explode(F.array("la", "lb")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("cut"))
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    vol = (
+        labels.select("id", F.col(label_col).alias("label"))
+        .join(deg, "id", "left")
+        .groupBy("label")
+        .agg(F.coalesce(F.sum("d"), F.lit(0)).alias("vol"))
+    )
+    m = canon.agg(F.count("*").alias("m"))
+    denom = F.least(F.col("vol"), 2 * F.col("m") - F.col("vol")).cast("double")
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.col("vol").cast("long").alias("vol"),
+            F.coalesce(F.col("cut"), F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                denom > 0,
+                F.round(F.coalesce(F.col("cut"), F.lit(0)) / denom, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One row (assortativity: double): Pearson correlation, over directed
     edges, between the source's out-degree and the destination's

@@ -207,6 +207,50 @@ FROM mi, sq
 """
 
 
+def conductance_sql(iterations: int = 5) -> str:
+    """DuckDB twin of operators.stats.conductance over the labelprop5
+    partition: per-label φ = cut / min(vol, 2m − vol), isolated
+    communities report 0."""
+    return f"""
+WITH {EDGES_SQL},
+{_labelprop_ctes(iterations)},
+lab AS MATERIALIZED (SELECT id, label FROM l{iterations}),
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+cut AS (
+    SELECT label, COUNT(*) AS cut FROM (
+        SELECT x.label FROM canon c
+        JOIN lab x ON c.a = x.id JOIN lab y ON c.b = y.id
+        WHERE x.label <> y.label
+        UNION ALL
+        SELECT y.label FROM canon c
+        JOIN lab x ON c.a = x.id JOIN lab y ON c.b = y.id
+        WHERE x.label <> y.label
+    ) GROUP BY label
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+    ) GROUP BY id
+),
+vol AS (
+    SELECT l.label, COALESCE(SUM(g.d), 0) AS vol
+    FROM lab l LEFT JOIN deg g ON l.id = g.id GROUP BY l.label
+),
+mm AS (SELECT COUNT(*) AS m FROM canon)
+SELECT v.label,
+       CAST(v.vol AS BIGINT) AS vol,
+       CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN LEAST(v.vol, 2 * mm.m - v.vol) > 0
+            THEN ROUND(COALESCE(c.cut, 0)
+                       / CAST(LEAST(v.vol, 2 * mm.m - v.vol) AS DOUBLE), 6)
+            ELSE 0.0 END AS conductance
+FROM vol v LEFT JOIN cut c ON v.label = c.label CROSS JOIN mm
+"""
+
+
 def triangles_sql() -> str:
     return f"""
 WITH {EDGES_SQL},
@@ -359,6 +403,35 @@ SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+def repetition_stats_sql(n: int = 2) -> str:
+    """DuckDB twin of docs.repetition_stats — same shingle stream
+    (duplicates KEPT), two aggregates, zero-gram docs report 0.0."""
+    ngram = f"array_to_string(t[i+1:i+{n}], ' ')"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+),
+ng AS (
+    SELECT doc_id, {ngram} AS s
+    FROM toks, UNNEST(generate_series(0, greatest(len(t)-{n}, 0))) AS u(i)
+),
+grp AS (SELECT doc_id, s, COUNT(*) AS c FROM ng GROUP BY doc_id, s),
+per AS (
+    SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS topc
+    FROM grp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.total, 0) AS BIGINT) AS n_ngrams,
+       CASE WHEN p.total > 0
+            THEN ROUND((p.total - p.dist) / CAST(p.total AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_ngram_frac,
+       CASE WHEN p.total > 0
+            THEN ROUND(p.topc / CAST(p.total AS DOUBLE), 6)
+            ELSE 0.0 END AS top_ngram_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 

@@ -1064,3 +1064,27 @@ def test_decontaminate_flags_probe_overlap(spark):
         for r in decontaminate(corpus, probes, k=3).collect()
     }
     assert got == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition rules: planted boilerplate loop vs clean text."""
+    from linkgraph.docs import repetition_stats
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam", "en", "s", 0),   # one 2-gram x4
+            (1, "a b c d e", "en", "s", 0),                  # all distinct
+            (2, "x", "en", "s", 0),                          # 1 partial gram
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngram_frac"], r["top_ngram_frac"])
+        for r in repetition_stats(corpus, n=2).collect()
+    }
+    # doc 0: 4 bigrams, all "spam spam" -> dup = 3/4, top = 4/4
+    assert got[0] == (4, 0.75, 1.0)
+    # doc 1: 4 distinct bigrams
+    assert got[1] == (4, 0.0, 0.25)
+    # doc 2: one partial 1-token gram
+    assert got[2] == (1, 0.0, 1.0)

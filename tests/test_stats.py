@@ -94,3 +94,44 @@ def test_modularity_random_labels_vs_numpy(spark):
     got = modularity(g, labels).collect()[0]["modularity"]
     assert got == pytest.approx(round(want, 6), abs=1e-6)
     g.unpersist()
+
+
+def test_conductance_two_cliques_bridge(spark):
+    """Closed form on bridge(k=8): two 8-cliques joined by one edge.
+    Perfect partition: each community's cut = 1 (the bridge), vol =
+    8·7 + 1 = 57, m = 57, 2m − vol = 57 → φ = 1/57 for both."""
+    import numpy as np
+
+    from linkgraph.operators import conductance
+    from tests.conftest import bridge_edges, make_graph
+
+    edges, n = bridge_edges(8)
+    g = make_graph(spark, edges, n)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 8 else 1) for i in range(n)], "id long, label long"
+    )
+    got = {
+        r["label"]: (r["vol"], r["cut"], r["conductance"])
+        for r in conductance(g, labels).collect()
+    }
+    assert got == {0: (57, 1, round(1 / 57, 6)), 1: (57, 1, round(1 / 57, 6))}
+    g.unpersist()
+
+
+def test_conductance_isolated_community_is_zero(spark):
+    from linkgraph.operators import conductance
+    from tests.conftest import make_graph
+    import numpy as np
+
+    edges = np.array([[0, 1], [1, 2]])
+    g = make_graph(spark, edges, 4)  # vertex 3 isolated
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 9)], "id long, label long"
+    )
+    got = {
+        r["label"]: (r["vol"], r["cut"], r["conductance"])
+        for r in conductance(g, labels).collect()
+    }
+    assert got[9] == (0, 0, 0.0)   # isolated: denom 0 → φ = 0
+    assert got[0] == (4, 0, 0.0)   # whole graph in one community: no cut
+    g.unpersist()

@@ -414,6 +414,22 @@ def main() -> None:
     big_stats: dict[str, float] = {}
     if not skip_big:
         drop_all_cached()
+        # FRESH SparkContext for the big sections: the gate section leaves
+        # hundreds of localCheckpoint RDD block registrations, broadcast
+        # pieces, and listener state behind; restarting gives the 50M-edge
+        # sections a clean BlockManager/memory manager, the same way a
+        # real cluster run would give each section its own executors.
+        # (Same JVM process in local mode — the heap is reused — so the
+        # restart is a hygiene measure, not a heap reset; the tenancy
+        # robustness comes from min-of-2 in timed_big below.)
+        spark.stop()
+        spark = get_spark(
+            app_name="linkgraph-bench-big",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 16),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         # big sections: back to core-proportional partitioning
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 16)))
         tb = time.monotonic()
@@ -425,11 +441,17 @@ def main() -> None:
         big_stats["build_sec"] = round(time.monotonic() - tb, 3)
 
         def timed_big(name, fn, rounds: int = 1):
-            t = time.monotonic()
-            fn()
-            wall = time.monotonic() - t
-            timings[f"big_{name}"] = round(wall, 3)
-            big_stats[f"{name}_edges_per_sec"] = round(BIG_E * rounds / wall, 1)
+            # min-of-2: the 50M-edge cells are single-digit-minute jobs and
+            # the recorded history shows 2-5x single-sample tenancy swings
+            # (big_pagerank10: 157/41/74/142 s across r04-r05 full-bench
+            # runs vs 28.4 s min-of-3 standalone on a clean host). One
+            # repeat halves the odds a contended draw becomes the number
+            # of record; timed()'s >90 s early-stop keeps a badly
+            # contended first sample from doubling the bench wall time.
+            timed(f"big_{name}", fn, repeats=2)
+            big_stats[f"{name}_edges_per_sec"] = round(
+                BIG_E * rounds / timings[f"big_{name}"], 1
+            )
 
         from linkgraph.operators.wcc import wcc_large_small_star
 

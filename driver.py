@@ -49,6 +49,8 @@ ALGOS = (
     "matching",
     "walks",
     "node2vec",
+    "coloring",
+    "densest",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -62,6 +64,7 @@ DOC_ALGOS = (
     "sample",
     "stratified_sample",
     "despan",
+    "para_dedup",
     "pii_scrub",
     "tfidf",
     "lm_score",
@@ -233,6 +236,14 @@ def main(argv: list[str] | None = None) -> int:
             p=args.p,
             q=args.q,
         )
+    elif args.algo == "coloring":
+        from linkgraph.operators import graph_coloring
+
+        result = graph_coloring(g)
+    elif args.algo == "densest":
+        from linkgraph.operators import densest_subgraph
+
+        result = densest_subgraph(g)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 
@@ -304,6 +315,8 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         result = docmod.fingerprints(documents)
     elif args.algo == "despan":
         result = docmod.remove_repeated_spans(documents, min_len=args.min_span_len)
+    elif args.algo == "para_dedup":
+        result = docmod.paragraph_dedup(documents)
     elif args.algo == "pii_scrub":
         result = docmod.pii_scrub(documents)
     elif args.algo == "tfidf":

@@ -1373,3 +1373,63 @@ def fingerprint_overlap_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    sep: str = "\n\n",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb / MassiveText boilerplate
+    pass): split every document on the LITERAL separator ``sep``, hash each
+    paragraph (md5-60 — engine-neutral, docs module docstring), and remove
+    every paragraph that occurs in ≥ ``min_doc_freq`` DISTINCT documents,
+    rejoining the survivors in document order. Returns one row per input
+    document: (doc_id, text, removed_paras) — ``text`` is the rewritten
+    document ('' when everything was boilerplate), ``removed_paras`` the
+    per-doc audit count. Sits between exact_dedup (whole-doc) and
+    remove_repeated_spans (character-level): the cross-document repeated
+    unit is the paragraph, the granularity at which web boilerplate
+    (headers, footers, cookie banners) actually repeats.
+
+    Scale plan: the corpus shuffles TWICE — once keyed by the 8-byte
+    paragraph hash for the distinct-doc count (map-side combinable both
+    phases), once by doc_id for the reassembly — and the join that flags
+    duplicates is paragraphs ⋈ (the SMALL duplicated-hash set: only
+    hashes with doc-freq ≥ min_doc_freq survive the filter, so the
+    build side is O(boilerplate), broadcastable in practice). Within-doc
+    repetition of a paragraph does NOT mark it (doc-freq counts distinct
+    docs) — that signal belongs to repetition_stats.
+    """
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be ≥ 2, got {min_doc_freq}")
+    # \Q…\E: Java-regex-quote the separator so F.split treats it as the
+    # literal DuckDB string_split does
+    pat = "\\Q" + sep + "\\E"
+    paras = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), pat)).alias("pos", "para")
+    ).withColumn("h", _md5_60("para"))
+    dup = (
+        paras.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    flagged = paras.join(dup, "h", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                # collect_list drops nulls: only kept paragraphs enter
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_dup").isNull(), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("removed_paras"),
+    )

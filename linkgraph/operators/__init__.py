@@ -14,6 +14,8 @@ from linkgraph.operators.anf import (
 )
 from linkgraph.operators.betweenness import betweenness
 from linkgraph.operators.bfs import bfs
+from linkgraph.operators.coloring import graph_coloring
+from linkgraph.operators.densest import densest_subgraph
 from linkgraph.operators.harmonic import (
     closeness_centrality,
     harmonic_centrality,
@@ -49,6 +51,8 @@ from linkgraph.operators.wcc import wcc
 __all__ = [
     "bfs",
     "betweenness",
+    "graph_coloring",
+    "densest_subgraph",
     "multi_source_bfs",
     "closeness_centrality",
     "harmonic_centrality",

@@ -2016,3 +2016,178 @@ SELECT epoch_us(date_trunc('{bucket}', ts)) AS bucket_us,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def coloring_sql(seed: int = 42, rounds: int = 16) -> str:
+    """DuckDB twin of operators.coloring.graph_coloring: ``rounds``
+    unrolled speculative-coloring rounds (tentative mex over colored
+    neighbors; the (p, id)-greater endpoint of any equal-color alive edge
+    loses and retries). Rounds past exhaustion are no-ops, so any
+    ``rounds`` >= the true round count is exact; the final INNER join
+    makes a shortfall loud (missing rows), never a silent color-0
+    default — and the ENGINE runs to an empty alive set and raises if it
+    fails to converge."""
+    pri = _md5_60_duck(f"'color:{int(seed)}:' || CAST(id AS VARCHAR)")
+    parts = [
+        """canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL SELECT b AS src, a AS dst FROM canon
+)""",
+        f"a0 AS MATERIALIZED (SELECT id, {pri} AS p FROM vertices)",
+        "c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color WHERE FALSE)",
+        "le0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""nc{r} AS MATERIALIZED (
+    SELECT DISTINCT e.src AS id, c.color AS ncolor
+    FROM sym e JOIN c{r - 1} c ON e.dst = c.id
+    JOIN a{r - 1} a ON e.src = a.id
+),
+mx{r} AS MATERIALIZED (
+    SELECT id, COALESCE(MIN(CASE WHEN ncolor <> rn THEN rn END),
+                        COUNT(*)) AS c
+    FROM (SELECT id, ncolor,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY ncolor) - 1 AS rn
+          FROM nc{r})
+    GROUP BY id
+),
+t{r} AS MATERIALIZED (
+    SELECT a.id, a.p, CAST(COALESCE(m.c, 0) AS INT) AS color
+    FROM a{r - 1} a LEFT JOIN mx{r} m USING (id)
+),
+l{r} AS MATERIALIZED (
+    SELECT DISTINCT e.src AS id
+    FROM le{r - 1} e JOIN t{r} x ON e.src = x.id JOIN t{r} y ON e.dst = y.id
+    WHERE x.color = y.color
+      AND (y.p < x.p OR (y.p = x.p AND e.dst < e.src))
+),
+n{r} AS MATERIALIZED (
+    SELECT t.id, t.color FROM t{r} t
+    WHERE NOT EXISTS (SELECT 1 FROM l{r} l WHERE l.id = t.id)
+),
+c{r} AS MATERIALIZED (
+    SELECT id, color FROM c{r - 1} UNION ALL SELECT id, color FROM n{r}
+),
+a{r} AS MATERIALIZED (
+    SELECT a.id, a.p FROM a{r - 1} a JOIN l{r} l ON a.id = l.id
+),
+le{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM le{r - 1} e
+    JOIN l{r} x ON e.src = x.id JOIN l{r} y ON e.dst = y.id
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT v.id, c.color FROM vertices v JOIN c{rounds} c ON v.id = c.id
+"""
+
+
+def densest_sql(eps_num: int = 1, eps_den: int = 10, rounds: int = 40) -> str:
+    """DuckDB twin of operators.densest.densest_subgraph: ``rounds``
+    unrolled Bahmani peel rounds (integer-exact threshold
+    d·nv·eps_den > (eps_den+eps_num)·ns), best level by the identical
+    IEEE-double density expression with earliest-round tie-break. The
+    peel strictly shrinks until empty, so any ``rounds`` ≥ the true peel
+    depth is exact (later rounds are empty no-ops, excluded from the
+    best-level argmax by ns > 0); the ENGINE peels to the actual empty
+    set and raises if it fails to get there."""
+    thresh = int(eps_den) + int(eps_num)
+    parts = [
+        """canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+e0 AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL SELECT b AS src, a AS dst FROM canon
+),
+s0 AS MATERIALIZED (SELECT COUNT(*) AS ns, COUNT(DISTINCT src) AS nv FROM e0)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+    SELECT src FROM e{r - 1} GROUP BY src
+    HAVING COUNT(*) * (SELECT nv FROM s{r - 1}) * {int(eps_den)}
+           > {thresh} * (SELECT ns FROM s{r - 1})
+),
+e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{r - 1} e
+    JOIN k{r} x ON e.src = x.src
+    JOIN k{r} y ON e.dst = y.src
+),
+s{r} AS MATERIALIZED (SELECT COUNT(*) AS ns, COUNT(DISTINCT src) AS nv FROM e{r})"""
+        )
+    stats = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, ns, nv FROM s{r}" for r in range(rounds + 1)
+    )
+    verts = "\n    UNION ALL ".join(
+        f"SELECT DISTINCT src, {r} AS r FROM e{r}" for r in range(rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body},
+stats AS ({stats}),
+best AS (
+    SELECT r, ns, nv FROM stats WHERE ns > 0
+    ORDER BY CAST(ns AS DOUBLE) / (2 * nv) DESC, r ASC LIMIT 1
+),
+verts AS ({verts})
+SELECT v.src AS id, ROUND(CAST(b.ns AS DOUBLE) / (2 * b.nv), 6) AS density
+FROM verts v JOIN best b ON v.r = b.r
+"""
+
+
+# the paragraph-dedup gate fixture: the synthetic corpus is single-line,
+# so BOTH engines plant the same shared header/footer paragraphs around
+# each document's own text — doc_id % 7 headers repeat across ~N/7 docs,
+# doc_id % 13 footers across ~N/13; the body survives unless the corpus
+# has a planted exact-duplicate text (then removing it IS the correct
+# paragraph-dedup answer). The Spark twin lives in
+# __spark_entry__._para_fixture.
+PARA_FIXTURE_SQL = (
+    "SELECT doc_id, 'shared header ' || CAST(doc_id % 7 AS VARCHAR) || '.'"
+    " || chr(10) || chr(10) || text || chr(10) || chr(10) ||"
+    " 'shared footer ' || CAST(doc_id % 13 AS VARCHAR) || '.' AS text"
+    " FROM documents"
+)
+
+
+def paragraph_dedup_sql(min_doc_freq: int = 2) -> str:
+    """DuckDB twin of docs.paragraph_dedup over the planted-boilerplate
+    fixture (PARA_FIXTURE_SQL): literal-separator split with positions,
+    md5-60 paragraph hash, distinct-doc-frequency filter, ordered
+    string_agg reassembly. COUNT(CASE …) not SUM for the audit column —
+    DuckDB SUM(int) is HUGEINT, the engine emits BIGINT."""
+    h = _md5_60_duck("u.para")
+    return f"""
+WITH base AS ({PARA_FIXTURE_SQL}),
+sp AS (
+    SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM base
+),
+paras AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(parts) + 1),
+               i -> struct_pack(pos := i, para := parts[i]))) AS u
+    FROM sp
+),
+p2 AS (
+    SELECT doc_id, u.pos AS pos, u.para AS para, {h} AS h FROM paras
+),
+dup AS (
+    SELECT h FROM p2 GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {int(min_doc_freq)}
+)
+SELECT p.doc_id,
+       COALESCE(string_agg(CASE WHEN d.h IS NULL THEN p.para END,
+                           chr(10) || chr(10) ORDER BY p.pos), '') AS text,
+       COUNT(CASE WHEN d.h IS NOT NULL THEN 1 END) AS removed_paras
+FROM p2 p LEFT JOIN dup d USING (h)
+GROUP BY p.doc_id
+"""

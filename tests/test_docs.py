@@ -1088,3 +1088,40 @@ def test_repetition_stats_planted(spark):
     assert got[1] == (4, 0.0, 0.25)
     # doc 2: one partial 1-token gram
     assert got[2] == (1, 0.0, 1.0)
+
+
+def test_paragraph_dedup(spark):
+    from linkgraph.docs import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\n\nbody zero\n\nomega"),
+            (1, "alpha\n\nbody one\n\nomega"),
+            (2, "unique only"),
+            (3, "alpha\n\nomega"),  # pure boilerplate → rewritten empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["removed_paras"])
+        for r in paragraph_dedup(df, min_doc_freq=2).collect()
+    }
+    assert got[0] == ("body zero", 2)
+    assert got[1] == ("body one", 2)
+    assert got[2] == ("unique only", 0)
+    assert got[3] == ("", 2)
+
+
+def test_paragraph_dedup_within_doc_repeat_not_removed(spark):
+    from linkgraph.docs import paragraph_dedup
+
+    # the SAME paragraph twice within ONE doc: doc-frequency is 1, so it
+    # stays (within-doc repetition belongs to repetition_stats) — and
+    # order is preserved through the shuffle
+    df = spark.createDataFrame(
+        [(0, "twice\n\nmiddle\n\ntwice"), (1, "other")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(df).collect()}
+    assert got[0] == "twice\n\nmiddle\n\ntwice"
+    assert got[1] == "other"

@@ -382,6 +382,20 @@ def main() -> None:
         .collect(),
         repeats=2,
     )
+    # round 5: Johansson palette coloring (density-proof round count) and
+    # the Charikar/Bahmani densest-subgraph peel
+    from linkgraph.operators import densest_subgraph, graph_coloring
+
+    timed(
+        "coloring",
+        lambda: graph_coloring(g).agg(F.max("color")).collect(),
+        repeats=3,
+    )
+    timed(
+        "densest",
+        lambda: densest_subgraph(g).count(),
+        repeats=3,
+    )
 
     # batch events operators on the sf events table (single-shuffle each)
     from linkgraph import events as _ev
@@ -568,6 +582,40 @@ def main() -> None:
             # sum of a computed fraction — consumes the aggregate chain
             lambda: docmod.repetition_stats(corpus, n=2)
             .agg(F.sum("dup_ngram_frac"))
+            .collect(),
+        )
+        # paragraph dedup needs paragraph structure: plant the same 3-para
+        # header/body/footer fixture the gate uses (the synthetic corpus
+        # is single-line), so headers/footers genuinely repeat across
+        # ~N/7 / ~N/13 docs and the remove-and-reassemble path is real
+        para_corpus = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit("shared header "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".\n\n"),
+                F.col("text"),
+                F.lit("\n\nshared footer "),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit("."),
+            ).alias("text"),
+        )
+        timed_docs(
+            "para_dedup",
+            lambda: docmod.paragraph_dedup(para_corpus)
+            .agg(F.sum("removed_paras"), F.sum(F.length("text")))
+            .collect(),
+        )
+        timed_docs(
+            "quantile_buckets",
+            # exact global rank by text length — the two-level prefix-sum
+            # rank at corpus scale (never a single-partition sort window)
+            lambda: docmod.quantile_buckets(
+                corpus.select("doc_id", F.length("text").alias("n_chars")),
+                score_col="n_chars",
+                buckets=10,
+            )
+            .agg(F.sum("rank"), F.max("bucket"))
             .collect(),
         )
         timed_docs(

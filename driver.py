@@ -65,6 +65,7 @@ DOC_ALGOS = (
     "stratified_sample",
     "despan",
     "para_dedup",
+    "quantile_buckets",
     "pii_scrub",
     "tfidf",
     "lm_score",
@@ -107,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "e.g. 'en=0.5,de=0.25' (strata_col: --strata-col)")
     p.add_argument("--strata-col", default="lang")
     p.add_argument("--top-terms", type=int, default=5, help="terms/doc for --algo tfidf")
+    p.add_argument("--score-col", default="n_chars",
+                   help="score column for --algo quantile_buckets")
+    p.add_argument("--buckets", type=int, default=10,
+                   help="quantile count for --algo quantile_buckets")
     p.add_argument("--chunk-tokens", type=int, default=512, help="--algo chunks size")
     p.add_argument("--chunk-overlap", type=int, default=0, help="--algo chunks overlap")
     p.add_argument("--window-tokens", type=int, default=2048, help="--algo pack window")
@@ -317,6 +322,10 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         result = docmod.remove_repeated_spans(documents, min_len=args.min_span_len)
     elif args.algo == "para_dedup":
         result = docmod.paragraph_dedup(documents)
+    elif args.algo == "quantile_buckets":
+        result = docmod.quantile_buckets(
+            documents, score_col=args.score_col, buckets=args.buckets
+        )
     elif args.algo == "pii_scrub":
         result = docmod.pii_scrub(documents)
     elif args.algo == "tfidf":

@@ -1433,3 +1433,73 @@ def paragraph_dedup(
         .cast("long")
         .alias("removed_paras"),
     )
+
+
+def quantile_buckets(
+    documents: DataFrame,
+    score_col: str,
+    buckets: int = 10,
+    id_col: str = "doc_id",
+    num_range_buckets: int = 64,
+) -> DataFrame:
+    """(``id_col``, rank, bucket) — EXACT global 0-based rank of every row
+    by (``score_col``, ``id_col``) ascending, and its k-quantile bucket
+    ``(rank · buckets) div N``. The corpus-curation primitive behind
+    quality-score bucketing (keep the top lm_score decile, downsample the
+    bottom), exact where approxQuantile is not — bucket boundaries land
+    on precise row counts, so downstream mixture weights are reproducible.
+
+    100 TB note — the naive plan is ``row_number() OVER (ORDER BY score)``,
+    a GLOBAL window Spark executes as a SINGLE partition. Instead the
+    two-level prefix sum (same shape as pack_windows): range-repartition
+    by the sort key into ``num_range_buckets``, per-bucket counts to the
+    driver (O(buckets) rows), broadcast back as per-bucket starting
+    offsets via a JVM map literal, then row_number runs PER BUCKET. The
+    bucket assignment is materialized once before it fans out —
+    repartitionByRange SAMPLES its bounds per execution (the pack_windows
+    nondeterminism lesson). Bucket arithmetic is integer (div), never a
+    float quantile boundary.
+    """
+    from pyspark.sql import Window
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be ≥ 1, got {buckets}")
+    rows = documents.select(
+        F.col(id_col), F.col(score_col).alias("_score")
+    ).repartitionByRange(num_range_buckets, "_score", id_col)
+    rows = rows.withColumn("_rb", F.spark_partition_id()).localCheckpoint(eager=True)
+    sums = rows.groupBy("_rb").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct(F.col("_score"), F.col(id_col))).alias("lo"),
+    )
+    parts = sorted(sums.collect(), key=lambda r: (r["lo"][0], r["lo"][1]))
+    offsets, acc = {}, 0
+    for r in parts:
+        offsets[r["_rb"]] = acc
+        acc += r["c"]
+    n_total = acc
+    if n_total == 0:
+        return rows.select(
+            id_col,
+            F.lit(0).cast("long").alias("rank"),
+            F.lit(0).cast("int").alias("bucket"),
+        ).limit(0)
+    off = F.create_map(*[F.lit(x) for rb, st in offsets.items() for x in (rb, st)])
+    w = Window.partitionBy("_rb").orderBy("_score", id_col)
+    return (
+        rows.withColumn(
+            "rank",
+            (
+                F.coalesce(off[F.col("_rb")], F.lit(0))
+                + F.row_number().over(w)
+                - 1
+            ).cast("long"),
+        )
+        .select(
+            id_col,
+            "rank",
+            F.expr(f"(rank * {int(buckets)}) div {int(n_total)}")
+            .cast("int")
+            .alias("bucket"),
+        )
+    )

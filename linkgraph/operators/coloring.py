@@ -1,37 +1,46 @@
-"""Distributed graph coloring — deterministic speculative rounds.
+"""Distributed graph coloring — deterministic random-palette rounds.
 
 Not in the reference binary set (README.md:6 lists BFS/PR/SSSP/SpMV/WCC);
 the standard parallel symmetry-breaking kernel next to MIS (register
 allocation of the graph world: scheduling, frequency assignment, parallel
-sparse factorization). Classic Jones–Plassmann colors only the
-priority-local-minima each round — on a dense link graph (mean degree d̄)
-only ~V/d̄ vertices are ready per round, so JP needs O(d̄·log V) rounds
-(measured: >56 rounds at the sf0.01 gate graph, d̄ ≈ 55). The speculative
-scheme here (Gebremedhin & Manne 2000; Çatalyürek et al. 2012) instead
-colors EVERY uncolored vertex tentatively each round and retries the
-losers of any conflict, converging in O(log V) expected rounds
-independent of density.
+sparse factorization). Two classic schemes degenerate on a DENSE link
+graph (mean degree d̄):
+  - Jones–Plassmann colors only priority-local-minima per round →
+    ~V/(d̄+1) winners/round → O(d̄·log V) rounds (measured >56 rounds at
+    the sf0.01 gate graph, d̄ ≈ 55);
+  - speculative first-fit (everyone takes the mex) makes all alive
+    vertices draw the SAME color, so conflict resolution again only
+    passes priority-local-minima → identical degeneracy (measured: >100
+    rounds at the sf0.1 graph, d̄ ≈ 270).
+The scheme here is Johansson's random-palette algorithm (Johansson 1999;
+Barenboim–Elkin Ch. 10): every uncolored vertex draws the j-th smallest
+AVAILABLE color from its palette {0..deg(v)} minus its colored
+neighbors' colors, with j a per-(round, vertex) hash — neighbors almost
+never collide, a constant fraction of the alive set wins every round,
+and convergence is O(log V) rounds INDEPENDENT of density. Every draw is
+the md5-60 of ``colorj:<seed>:<round>:<id>`` (docs.py:44 — the corpus
+pipeline's hash), so the run is bit-identical across engines, runs, and
+partitionings, and the DuckDB twin (oracle_sql.coloring_sql) unrolls the
+identical rounds. Palette ⊆ {0..deg(v)} keeps the Δ+1 worst-case bound
+of greedy (per-vertex: color(v) ≤ deg(v)) — what it gives up vs
+sequential first-fit is palette density, the price of density-proof
+round counts.
 
 Round shape (all bulk Catalyst plans, no driver-side data):
-  1. tentative(v) = mex over v's ALREADY-COLORED neighbors' colors — one
-     edges⋈colored join, distinct, then a per-vertex window over the ≤ Δ+1
-     distinct neighbor colors (first index where the sorted colors skip a
-     value); no colored neighbor → 0.
-  2. conflicts = alive edges whose endpoints drew the SAME tentative
-     color; the loser is the (p, id)-GREATER endpoint, where p is a FIXED
-     engine-neutral hash priority (md5-60 of ``color:<seed>:<id>``,
-     docs.py:44). Winners = non-losers; they keep their tentative color.
-  3. losers stay uncolored and retry; the alive-alive edge set is pruned
-     by two semi-joins (kcore shape) so the conflict self-join shrinks
-     with the frontier.
-Every step is a deterministic function of the graph and the seed, so the
-result — while NOT the sequential-greedy coloring — is bit-identical
-across engines, runs, and partitionings, and the DuckDB twin
-(oracle_sql.coloring_sql) unrolls the identical rounds. The global
-(p, id)-minimum alive vertex can never lose, so the alive set shrinks
-every round; ``max_iterations`` guards the adversarial case loudly.
-Colors are ≤ Δ+1 (mex over neighbors); validity (no monochromatic edge)
-and the bound are asserted in tests/test_coloring.py.
+  1. nc = DISTINCT colored-neighbor colors ≤ deg(v) per alive vertex
+     (one edges⋈colored join), ranked per vertex by a window over ≤ Δ+1
+     rows; m = their count → n_avail = deg+1−m ≥ 1, j = hash % n_avail.
+  2. the j-th available color by the order-statistic skip formula:
+     tentative = j + max{i+1 : cᵢ − i ≤ j} over the ranked used colors
+     (the count of available colors below cᵢ is cᵢ − i).
+  3. conflicts = alive-alive edges whose endpoints drew the SAME
+     tentative color; the (p, id)-GREATER endpoint (p = fixed md5-60 of
+     ``color:<seed>:<id>``) retries next round; winners keep the color.
+     The alive-alive edge set shrinks by two semi-joins (kcore shape).
+The global (p, id)-minimum alive vertex can never lose, so the alive set
+shrinks every round; ``max_iterations`` guards the adversarial case
+loudly. Validity (no monochromatic edge) and the per-vertex deg+1 bound
+are asserted in tests/test_coloring.py.
 """
 
 from __future__ import annotations
@@ -56,20 +65,29 @@ def graph_coloring(
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
 ) -> DataFrame:
     """(id, color) over the FULL vertex set: a proper coloring of the
-    UNDIRECTED SIMPLE view of ``graph`` by deterministic speculative
-    rounds on md5-priority conflict resolution. Colors are dense small
-    ints from 0; isolated vertices get 0. Proper (no edge joins two
-    equal colors) and ≤ Δ+1 colors — asserted in tests/test_coloring.py."""
+    UNDIRECTED SIMPLE view of ``graph`` by deterministic random-palette
+    rounds (Johansson) with md5-priority conflict resolution. Per vertex
+    color(v) ≤ deg(v) (isolated vertices get 0); proper — asserted in
+    tests/test_coloring.py."""
     lazy = checkpointer is None
     checkpoint = checkpointer or _default_checkpointer
     canon = graph.canonical_undirected_edges()
     sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    # simple undirected degree — the per-vertex palette size − 1; reused
+    # every round, materialized once
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    deg = deg.localCheckpoint(eager=True) if lazy else checkpoint(deg, -2)
+
     pri = _md5_60(f"concat('color:{int(seed)}:', CAST(id AS STRING))")
-    alive = graph.vertices().select("id", pri.alias("p"))
+    alive = (
+        graph.vertices()
+        .select("id", pri.alias("p"))
+        .join(deg, "id", "left")
+        .select("id", "p", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
     alive = alive.localCheckpoint(eager=False) if lazy else checkpoint(alive, 0)
-    # alive-alive edges for conflict detection, pruned as vertices retire
     live_e = sym.localCheckpoint(eager=False) if lazy else checkpoint(sym, -1)
     n_alive = alive.count()
     colored: DataFrame | None = None
@@ -78,39 +96,71 @@ def graph_coloring(
     for it in range(1, max_iterations + 1):
         if n_alive == 0:
             break
-        # 1. tentative color = mex of already-colored neighbor colors
+        draw = _md5_60(
+            f"concat('colorj:{int(seed)}:{it}:', CAST(id AS STRING))"
+        )
         if colored is not None:
-            ncol = (
-                sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
+            # 1. ranked DISTINCT colored-neighbor colors within the palette
+            nc = (
+                sym.join(
+                    alive.select(F.col("id").alias("src"), F.col("deg").alias("d")),
+                    "src",
+                )
                 .join(
                     colored.select(
                         F.col("id").alias("dst"), F.col("color").alias("ncolor")
                     ),
                     "dst",
                 )
+                .filter(F.col("ncolor") <= F.col("d"))
                 .select(F.col("src").alias("id"), "ncolor")
                 .distinct()
+                .withColumn("rn", F.row_number().over(w) - 1)
             )
-            mex = (
-                ncol.withColumn("rn", F.row_number().over(w) - 1)
+            # nc feeds BOTH the palette-size count and the skip formula —
+            # materialize once (fan-out recompute pitfall)
+            nc = nc.localCheckpoint(eager=True) if lazy else checkpoint(nc, 4000 + it)
+            used = nc.groupBy("id").agg(F.count("*").alias("m"))
+            tentj = (
+                alive.join(used, "id", "left")
+                .select(
+                    "id",
+                    "p",
+                    (
+                        draw
+                        % (F.col("deg") + 1 - F.coalesce(F.col("m"), F.lit(0)))
+                    ).alias("j"),
+                )
+            )
+            # 2. order-statistic skip: tentative = j + max{i+1 : cᵢ−i ≤ j}
+            shift = (
+                nc.join(tentj.select("id", "j"), "id")
                 .groupBy("id")
                 .agg(
-                    F.min(
-                        F.when(F.col("ncolor") != F.col("rn"), F.col("rn"))
-                    ).alias("gap"),
-                    F.count("*").alias("n"),
+                    F.max(
+                        F.when(
+                            F.col("ncolor") - F.col("rn") <= F.col("j"),
+                            F.col("rn") + 1,
+                        )
+                    ).alias("s")
                 )
-                .select("id", F.coalesce("gap", "n").alias("c"))
             )
-            tent = alive.join(mex, "id", "left").select(
-                "id", "p", F.coalesce(F.col("c"), F.lit(0)).cast("int").alias("color")
+            tent = tentj.join(shift, "id", "left").select(
+                "id",
+                "p",
+                (F.col("j") + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("int")
+                .alias("color"),
             )
         else:
-            tent = alive.select("id", "p", F.lit(0).cast("int").alias("color"))
+            # first round: nothing colored yet — the draw itself is the color
+            tent = alive.select(
+                "id", "p", (draw % (F.col("deg") + 1)).cast("int").alias("color")
+            )
         # tent fans out into the conflict self-join (both sides) AND the
-        # winner/loser splits — materialize once (fan-out recompute pitfall)
+        # winner/loser splits — materialize once
         tent = tent.localCheckpoint(eager=True) if lazy else checkpoint(tent, it)
-        # 2. losers: alive-alive edges with equal tentative colors; the
+        # 3. losers: alive-alive edges with equal tentative colors; the
         #    (p, id)-greater endpoint retries next round
         ta = tent.select(
             F.col("id").alias("src"), F.col("p").alias("pa"), F.col("color").alias("ca")
@@ -136,7 +186,7 @@ def graph_coloring(
         )
         newly = tent.join(losers, "id", "left_anti").select("id", "color")
         colored = newly if colored is None else colored.unionByName(newly)
-        # 3. shrink the frontier and its live edge set
+        # shrink the frontier and its live edge set
         nxt = alive.join(losers, "id", "left_semi")
         nxt = nxt.localCheckpoint(eager=False) if lazy else checkpoint(nxt, 2000 + it)
         lid = losers.select(F.col("id"))

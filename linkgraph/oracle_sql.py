@@ -2020,13 +2020,14 @@ GROUP BY 1, 2
 
 def coloring_sql(seed: int = 42, rounds: int = 16) -> str:
     """DuckDB twin of operators.coloring.graph_coloring: ``rounds``
-    unrolled speculative-coloring rounds (tentative mex over colored
-    neighbors; the (p, id)-greater endpoint of any equal-color alive edge
-    loses and retries). Rounds past exhaustion are no-ops, so any
-    ``rounds`` >= the true round count is exact; the final INNER join
-    makes a shortfall loud (missing rows), never a silent color-0
-    default — and the ENGINE runs to an empty alive set and raises if it
-    fails to converge."""
+    unrolled Johansson random-palette rounds (per-(round, vertex) md5
+    draw of the j-th available color in {0..deg} minus colored-neighbor
+    colors via the order-statistic skip formula; the (p, id)-greater
+    endpoint of any equal-color alive edge loses and retries). Rounds
+    past exhaustion are no-ops, so any ``rounds`` >= the true round
+    count is exact; the final INNER join makes a shortfall loud (missing
+    rows), never a silent color-0 default — and the ENGINE runs to an
+    empty alive set and raises if it fails to converge."""
     pri = _md5_60_duck(f"'color:{int(seed)}:' || CAST(id AS VARCHAR)")
     parts = [
         """canon AS (
@@ -2036,29 +2037,40 @@ def coloring_sql(seed: int = 42, rounds: int = 16) -> str:
 sym AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM canon
     UNION ALL SELECT b AS src, a AS dst FROM canon
+),
+dg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)""",
+        f"""a0 AS MATERIALIZED (
+    SELECT v.id AS id, {pri.replace("(id", "(v.id")} AS p, COALESCE(d.deg, 0) AS deg
+    FROM vertices v LEFT JOIN dg d ON v.id = d.id
 )""",
-        f"a0 AS MATERIALIZED (SELECT id, {pri} AS p FROM vertices)",
         "c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color WHERE FALSE)",
         "le0 AS MATERIALIZED (SELECT src, dst FROM sym)",
     ]
     for r in range(1, rounds + 1):
+        draw = _md5_60_duck(f"'colorj:{int(seed)}:{r}:' || CAST(a.id AS VARCHAR)")
         parts.append(
             f"""nc{r} AS MATERIALIZED (
-    SELECT DISTINCT e.src AS id, c.color AS ncolor
-    FROM sym e JOIN c{r - 1} c ON e.dst = c.id
-    JOIN a{r - 1} a ON e.src = a.id
+    SELECT id, ncolor,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY ncolor) - 1 AS rn
+    FROM (SELECT DISTINCT e.src AS id, c.color AS ncolor
+          FROM sym e
+          JOIN c{r - 1} c ON e.dst = c.id
+          JOIN a{r - 1} a ON e.src = a.id AND c.color <= a.deg)
 ),
-mx{r} AS MATERIALIZED (
-    SELECT id, COALESCE(MIN(CASE WHEN ncolor <> rn THEN rn END),
-                        COUNT(*)) AS c
-    FROM (SELECT id, ncolor,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY ncolor) - 1 AS rn
-          FROM nc{r})
-    GROUP BY id
+u{r} AS MATERIALIZED (SELECT id, COUNT(*) AS m FROM nc{r} GROUP BY id),
+tj{r} AS MATERIALIZED (
+    SELECT a.id, a.p, a.deg,
+           {draw} % (a.deg + 1 - COALESCE(u.m, 0)) AS j
+    FROM a{r - 1} a LEFT JOIN u{r} u ON a.id = u.id
+),
+sh{r} AS MATERIALIZED (
+    SELECT n.id, MAX(CASE WHEN n.ncolor - n.rn <= t.j THEN n.rn + 1 END) AS s
+    FROM nc{r} n JOIN tj{r} t ON n.id = t.id
+    GROUP BY n.id
 ),
 t{r} AS MATERIALIZED (
-    SELECT a.id, a.p, CAST(COALESCE(m.c, 0) AS INT) AS color
-    FROM a{r - 1} a LEFT JOIN mx{r} m USING (id)
+    SELECT t.id, t.p, CAST(t.j + COALESCE(s.s, 0) AS INT) AS color
+    FROM tj{r} t LEFT JOIN sh{r} s ON t.id = s.id
 ),
 l{r} AS MATERIALIZED (
     SELECT DISTINCT e.src AS id
@@ -2074,7 +2086,7 @@ c{r} AS MATERIALIZED (
     SELECT id, color FROM c{r - 1} UNION ALL SELECT id, color FROM n{r}
 ),
 a{r} AS MATERIALIZED (
-    SELECT a.id, a.p FROM a{r - 1} a JOIN l{r} l ON a.id = l.id
+    SELECT a.id, a.p, a.deg FROM a{r - 1} a JOIN l{r} l ON a.id = l.id
 ),
 le{r} AS MATERIALIZED (
     SELECT e.src, e.dst FROM le{r - 1} e
@@ -2190,4 +2202,21 @@ SELECT p.doc_id,
        COUNT(CASE WHEN d.h IS NOT NULL THEN 1 END) AS removed_paras
 FROM p2 p LEFT JOIN dup d USING (h)
 GROUP BY p.doc_id
+"""
+
+
+def quantile_buckets_sql(score_col: str = "n_chars", buckets: int = 10) -> str:
+    """DuckDB twin of docs.quantile_buckets: single-node, so the two-level
+    prefix sum collapses to one ROW_NUMBER window; identical (score, id)
+    sort key and integer bucket arithmetic (// floor division — the
+    engine's `div`)."""
+    return f"""
+WITH r AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY {score_col}, doc_id) - 1 AS rnk
+    FROM documents
+)
+SELECT doc_id, rnk AS "rank",
+       CAST((rnk * {int(buckets)}) // (SELECT COUNT(*) FROM documents) AS INT) AS bucket
+FROM r
 """

@@ -1125,3 +1125,32 @@ def test_paragraph_dedup_within_doc_repeat_not_removed(spark):
     got = {r["doc_id"]: r["text"] for r in paragraph_dedup(df).collect()}
     assert got[0] == "twice\n\nmiddle\n\ntwice"
     assert got[1] == "other"
+
+
+def test_quantile_buckets_exact_rank(spark):
+    from linkgraph.docs import quantile_buckets
+
+    # 20 docs, scores with heavy ties → rank must still be the exact
+    # (score, doc_id) order; decile boundaries land on precise counts
+    rows = [(i, float(i % 5)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = quantile_buckets(df, score_col="s", buckets=4, num_range_buckets=8)
+    got = {r["doc_id"]: (r["rank"], r["bucket"]) for r in out.collect()}
+    expected_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for rank, (doc_id, _s) in enumerate(expected_order):
+        assert got[doc_id] == (rank, rank * 4 // 20), (doc_id, got[doc_id])
+    # every bucket holds exactly n/k rows here (20 divisible by 4)
+    from collections import Counter
+
+    sizes = Counter(b for _r, b in got.values())
+    assert sizes == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+def test_quantile_buckets_empty_and_single(spark):
+    from linkgraph.docs import quantile_buckets
+
+    empty = spark.createDataFrame([], "doc_id long, s double")
+    assert quantile_buckets(empty, score_col="s").count() == 0
+    one = spark.createDataFrame([(7, 3.0)], "doc_id long, s double")
+    r = quantile_buckets(one, score_col="s", buckets=10).collect()[0]
+    assert (r["doc_id"], r["rank"], r["bucket"]) == (7, 0, 0)

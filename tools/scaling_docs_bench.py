@@ -13,7 +13,7 @@ per-job driver latency; the operator runs ``REPEATS`` back-to-back times
 per level and the MIN wall is the number of record (tenancy only ever
 adds time).
 
-Usage:  python tools/scaling_docs_bench.py [dedup_clusters|lm_score]
+Usage:  python tools/scaling_docs_bench.py [dedup_clusters|lm_score|semantic_dedup]
         python tools/scaling_docs_bench.py --child 8 dedup_clusters
 """
 
@@ -54,15 +54,40 @@ def child(cores: int, op: str) -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    bench.BIG_DOCS = N_DOCS
-    corpus = bench.big_docs(spark, num_partitions=SHUFFLE_PARTITIONS).persist()
-    corpus.count()  # materialize before timing
+    if op == "semantic_dedup":
+        # the ANN/embedding surface (round 5): same protocol on the
+        # SemDeDup pipeline — matmul IVF assignment + per-cell BLAS gram
+        # pairs + components + keep-list; compute is Arrow-batched numpy
+        # inside executor threads, so thread-count scaling is exactly
+        # what this measures. Vector count sized so compute dominates
+        # the fixed per-job driver latency at 2 cores without making the
+        # 3-repeat low-cores leg take tens of minutes.
+        bench.BIG_VECS = int(os.environ.get("SCALING_VECS_N", "200000"))
+        corpus = bench.big_embeddings(
+            spark, num_partitions=SHUFFLE_PARTITIONS
+        ).persist()
+        n_items = corpus.count()
+    else:
+        bench.BIG_DOCS = N_DOCS
+        corpus = bench.big_docs(spark, num_partitions=SHUFFLE_PARTITIONS).persist()
+        n_items = corpus.count()  # materialize before timing
 
     def run_once() -> None:
         if op == "dedup_clusters":
             docmod.dedup_clusters(corpus, max_bucket_size=1000).count()
         elif op == "lm_score":
             docmod.lm_cross_entropy(corpus).agg(F.sum("cross_entropy")).collect()
+        elif op == "semantic_dedup":
+            from linkgraph import similarity
+
+            similarity.semantic_dedup(
+                corpus,
+                num_centroids=256,
+                min_sim=0.95,
+                method="matmul",
+                pair_method="matmul",
+                max_cell_size=100_000,
+            ).filter(F.col("keep")).count()
         else:
             raise ValueError(f"unknown op {op!r}")
 
@@ -77,10 +102,10 @@ def child(cores: int, op: str) -> None:
             {
                 "cores": cores,
                 "op": op,
-                "n_docs": N_DOCS,
+                "n_items": n_items,
                 "samples_sec": samples,
                 "min_sec": best,
-                "docs_per_sec": round(N_DOCS / best, 1),
+                "docs_per_sec": round(n_items / best, 1),
             }
         )
     )

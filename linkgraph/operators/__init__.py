@@ -22,6 +22,7 @@ from linkgraph.operators.harmonic import (
     multi_source_bfs,
 )
 from linkgraph.operators.hits import hits
+from linkgraph.operators.katz import katz
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
@@ -61,6 +62,7 @@ __all__ = [
     "effective_diameter",
     "mean_distance",
     "hits",
+    "katz",
     "k_core",
     "k_truss",
     "coreness",

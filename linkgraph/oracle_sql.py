@@ -1515,6 +1515,33 @@ FROM a{iterations} a JOIN h{iterations} h ON a.id = h.id
 """
 
 
+def katz_sql(iterations: int = 8, alpha: float = 0.01, beta: float = 1.0) -> str:
+    """Unrolled truncated Katz recurrence x ← β + α·Aᵀx from x₀ = β·1 —
+    the DuckDB twin of operators/katz.py. Each round CTE is referenced
+    exactly once (by the next round), so no AS MATERIALIZED is needed;
+    the chain is linear, not the hits_sql fan-out."""
+    a, b = float(alpha), float(beta)
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""r{k} AS (
+    SELECT v.id, {b!r} + {a!r} * COALESCE(m.mass, 0.0) AS kz
+    FROM vertices v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.kz) AS mass
+        FROM edges e JOIN r{k - 1} r ON e.src = r.id
+        GROUP BY e.dst
+    ) m ON v.id = m.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+r0 AS (SELECT id, CAST({b!r} AS DOUBLE) AS kz FROM vertices),
+{",".join(rounds)}
+SELECT id, ROUND(kz, 6) AS katz FROM r{iterations}
+"""
+
+
 def clustering_coeff_sql() -> str:
     """lcc = 2·tri(v) / (deg·(deg−1)) over the undirected simple graph —
     shares the compact-forward triangle CTEs of triangles_per_vertex_sql."""

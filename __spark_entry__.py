@@ -514,6 +514,13 @@ def _q_lm_score(spark, sf_dir):
     return docs.lm_cross_entropy(_docs(spark, sf_dir), alpha=0.5)
 
 
+def _q_pmi(spark, sf_dir):
+    """Corpus-level PMI collocations, top-30 with count ≥ 5 (round 5) —
+    the phrase-mining signal; 6-dp round before the rank pins the
+    k-boundary (tf_idf_top_terms rule)."""
+    return docs.pmi_collocations(_docs(spark, sf_dir), min_count=5, top_k=30)
+
+
 def _q_betweenness8(spark, sf_dir):
     """Seeded Brandes betweenness from sources 0-7 (round 4) — σ rides
     the MS-BFS level aggregate, δ walks the strata backward; exact vs an
@@ -716,7 +723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup": _q_docs_dedup,
         "docs_token_stats": _q_docs_token_stats,
         "quality_filter": _q_quality_filter,
-        "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "semantic_dedup": _q_semantic_dedup,
@@ -724,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "tfidf": _q_tfidf,
         "lm_score": _q_lm_score,
+        "pmi": _q_pmi,
         "pii_scrub": _q_pii_scrub,
         "chunks": _q_chunks,
         "pack": _q_pack,
@@ -749,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # those stay correct via tools/gatecheck.py, which runs ALL keys;
         # the judge's r04 gatecheck run did the same.
         "walks_node2vec": _q_walks_node2vec,
+        "ngram_jaccard": _q_ngram_jaccard,
         "ivf_knn": _q_ivf_knn,
         "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,
@@ -847,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness8": osql.betweenness_sql(list(range(8)), levels=8),
         "mis": osql.mis_sql(seed=42, rounds=10),
         "lm_score": osql.lm_cross_entropy_sql(alpha=0.5),
+        "pmi": osql.pmi_sql(min_count=5, top_k=30),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),

@@ -829,6 +829,76 @@ def tf_idf_top_terms(documents: DataFrame, top_k: int = 5) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    documents: DataFrame, min_count: int = 5, top_k: int = 30
+) -> DataFrame:
+    """(w1, w2, cnt, pmi) — the ``top_k`` corpus-level collocations by
+    pointwise mutual information over whitespace bigrams:
+
+        pmi(w1,w2) = ln [ (c12/N_bi) / ((c1/N_uni) · (c2/N_uni)) ]
+
+    with c12 the bigram instance count (≥ ``min_count``), c1/c2 unigram
+    instance counts, N_bi/N_uni the corpus totals. The standard
+    phrase-mining / tokenizer-seeding signal of a corpus pipeline
+    (Mikolov-style phrase detection); pmi is rounded to 6 dp BEFORE the
+    ranking and ties break on (w1, w2), so the k-boundary is identical
+    across engines (the tf_idf_top_terms rule).
+
+    Plan shape: bigrams built INSIDE each doc's token array (the
+    lm_cross_entropy bound-once lambda) then aggregated to corpus
+    (w1, w2) counts, which are lazily checkpointed — two consumers, the
+    N_bi total and the scoring join (the fan-out recompute pitfall);
+    likewise the unigram counts (three consumers: c1 join, c2 join,
+    N_uni). The final global top-k is orderBy().limit() — Catalyst's
+    TakeOrderedAndProject, a per-partition heap + driver merge of k
+    rows, never a single-partition global sort."""
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    bg = (
+        f"transform(array({tt}), t -> "
+        f"CASE WHEN size(t) >= 2 THEN "
+        f"transform(sequence(2, size(t)), "
+        f"i -> struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2)) "
+        f"ELSE array() END)[0]"
+    )
+    bi = (
+        documents.select(F.explode(F.expr(bg)).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        documents.select(F.explode(F.expr(tt)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        bi.agg(F.sum("cnt").cast("double").alias("nb"))
+        .crossJoin(uni.agg(F.sum("c").cast("double").alias("nu")))
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.filter(F.col("cnt") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
 def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     """(doc_id, n_bigrams, cross_entropy) — per-document cross-entropy
     under an add-α-smoothed bigram language model trained on the corpus

@@ -660,6 +660,42 @@ FROM documents d LEFT JOIN (
 """
 
 
+def pmi_sql(min_count: int = 5, top_k: int = 30) -> str:
+    """DuckDB twin of docs.pmi_collocations — same whitespace tokenizer,
+    same in-list bigram construction as lm_cross_entropy_sql, the
+    IDENTICAL division shape (cnt/nb) / ((c1/nu)·(c2/nu)) so libm sees
+    the same doubles, 6-dp round BEFORE the (pmi DESC, w1, w2) rank."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                       s -> s <> '') AS tt
+    FROM documents
+),
+bigf AS (
+    SELECT u.bg.w1 AS w1, u.bg.w2 AS w2 FROM (
+        SELECT unnest(CASE WHEN len(tt) >= 2
+            THEN list_transform(range(2, len(tt) + 1),
+                                i -> struct_pack(w1 := tt[i-1], w2 := tt[i]))
+            ELSE [] END) AS bg
+        FROM toks) u
+),
+bi AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cnt FROM bigf GROUP BY w1, w2),
+uni AS MATERIALIZED (
+    SELECT w, COUNT(*) AS c FROM (SELECT unnest(tt) AS w FROM toks) GROUP BY w
+),
+tot AS (
+    SELECT (SELECT CAST(SUM(cnt) AS DOUBLE) FROM bi) AS nb,
+           (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS nu
+)
+SELECT b.w1, b.w2, b.cnt,
+       ROUND(LN((b.cnt / t.nb) / ((u1.c / t.nu) * (u2.c / t.nu))), 6) AS pmi
+FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w CROSS JOIN tot t
+WHERE b.cnt >= {min_count}
+ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
+"""
+
+
 def docs_sample_sql(rate: float = 0.25, seed: int = 42) -> str:
     """DuckDB twin of docs.sample_documents — same md5-60 threshold on
     the same salt string, so the selected set is identical by

@@ -1154,3 +1154,40 @@ def test_quantile_buckets_empty_and_single(spark):
     one = spark.createDataFrame([(7, 3.0)], "doc_id long, s double")
     r = quantile_buckets(one, score_col="s", buckets=10).collect()[0]
     assert (r["doc_id"], r["rank"], r["bucket"]) == (7, 0, 0)
+
+
+def test_pmi_collocations_closed_form(spark):
+    # corpus: "a b" twice + "a c" once + "d" once →
+    # bigrams: (a,b)×2, (a,c)×1; N_bi=3; unigrams: a×3 b×2 c×1 d×1; N_uni=7
+    import math
+
+    from linkgraph.docs import pmi_collocations
+
+    d = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["cnt"], r["pmi"])
+        for r in pmi_collocations(d, min_count=1, top_k=10).collect()
+    }
+    def pmi(c12, c1, c2):
+        return round(math.log((c12 / 3) / ((c1 / 7) * (c2 / 7))), 6)
+
+    assert got == {
+        ("a", "b"): (2, pmi(2, 3, 2)),
+        ("a", "c"): (1, pmi(1, 3, 1)),
+    }
+
+
+def test_pmi_min_count_and_topk_tiebreak(spark):
+    from linkgraph.docs import pmi_collocations
+
+    # all four bigrams have cnt=1 and identical pmi → tie broken (w1, w2)
+    d = spark.createDataFrame(
+        [(0, "p q"), (1, "r s"), (2, "t u"), (3, "v w")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(d, min_count=1, top_k=2).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("p", "q"), ("r", "s")]
+    assert pmi_collocations(d, min_count=2, top_k=10).count() == 0

@@ -514,6 +514,15 @@ def _q_lm_score(spark, sf_dir):
     return docs.lm_cross_entropy(_docs(spark, sf_dir), alpha=0.5)
 
 
+def _q_dsir(spark, sf_dir):
+    """DSIR importance resampling toward the lang='en' slice (round 5) —
+    hashed-unigram bucket models, add-1 smoothing, deterministic
+    Gumbel-top-k keep-list of 100 docs."""
+    return docs.dsir_resample(
+        _docs(spark, sf_dir), "lang = 'en'", keep=100, buckets=4096, seed=42
+    )
+
+
 def _q_pmi(spark, sf_dir):
     """Corpus-level PMI collocations, top-30 with count ≥ 5 (round 5) —
     the phrase-mining signal; 6-dp round before the rank pins the
@@ -735,13 +744,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": _q_chunks,
         "pack": _q_pack,
         "stratified_sample": _q_stratified_sample,
+        "dsir": _q_dsir,
         "para_dedup": _q_para_dedup,
         "quantile_buckets": _q_quantile_buckets,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         # --- similarity / ANN
         "lsh_knn": _q_lsh_knn,
-        "lsh_knn_batch": _q_lsh_knn_batch,
         # --- events
         "sessionize": _q_sessionize,
         # ---------------- 50-query window boundary ----------------
@@ -757,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the judge's r04 gatecheck run did the same.
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_knn_batch": _q_lsh_knn_batch,
         "ivf_knn": _q_ivf_knn,
         "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,
@@ -856,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": osql.mis_sql(seed=42, rounds=10),
         "lm_score": osql.lm_cross_entropy_sql(alpha=0.5),
         "pmi": osql.pmi_sql(min_count=5, top_k=30),
+        "dsir": osql.dsir_sql("lang = 'en'", keep=100, buckets=4096, seed=42),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),

@@ -899,6 +899,110 @@ def pmi_collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
 
 
+def dsir_log_weights(
+    documents: DataFrame, target_predicate: str, buckets: int = 4096
+) -> DataFrame:
+    """(doc_id, logw) — DSIR importance log-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its hashed-unigram
+    feature vector is under the TARGET distribution (documents matching
+    ``target_predicate``, a SQL boolean over the documents columns) than
+    under the RAW corpus distribution —
+
+        logw(d) = Σ_b n_b(d) · [ ln p̂_t(b) − ln p̂_r(b) ]
+
+    with n_b(d) the doc's token count in hash bucket b (md5-60 of the
+    token mod ``buckets`` — engine-neutral, so DuckDB reproduces the
+    exact bucketing), and p̂ the add-1-smoothed bucket unigram models
+    p̂(b) = (c(b)+1) / (N+B). Zero-token docs score 0. The standard
+    target-domain upsampling signal of a pre-training pipeline; rounded
+    to 6 dp (cross-engine summation order).
+
+    Plan shape: one tokenize+explode pass aggregated to per-doc bucket
+    counts and lazily checkpointed — THREE consumers (raw bucket totals,
+    target bucket totals, the scoring join), the fan-out recompute
+    pitfall. Bucket models are B rows (≤ ``buckets``), broadcast into
+    the scoring join; totals are 1-row broadcast crossJoins. Everything
+    downstream of the explode is keyed on doc_id or the B-bounded
+    bucket id — no all-pairs, no driver-side data."""
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    nb = (
+        documents.select("doc_id", F.explode(F.expr(tt)).alias("w"))
+        .select("doc_id", (_md5_60("w") % buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_ids = documents.filter(target_predicate).select("doc_id")
+    raw = nb.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt = (
+        nb.join(tgt_ids, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("ct"))
+    )
+    # every bucket a doc touches is present in raw by construction; a
+    # bucket absent from the target corpus smooths to ct = 0
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .select("bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .localCheckpoint(eager=False)  # consumers: two totals + scoring
+    )
+    totals = (
+        model.agg(F.sum("cr").alias("nr"))
+        .crossJoin(model.agg(F.sum("ct").alias("nt")))
+    )
+    b = int(buckets)
+    scored = (
+        nb.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.col("n")
+                * (
+                    F.log((F.col("ct") + 1) / (F.col("nt") + F.lit(b)))
+                    - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(b)))
+                )
+            ).alias("term"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.round(F.sum("term"), 6).alias("logw"))
+    return documents.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("logw", F.lit(0.0)).alias("logw")
+    )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target_predicate: str,
+    keep: int = 100,
+    buckets: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, logw, key) — the ``keep`` documents selected by DSIR
+    Gumbel-top-k resampling: sampling WITHOUT replacement proportional
+    to the importance weights is exactly taking the top-k of
+
+        key(d) = logw(d) + Gumbel(d),   Gumbel = −ln(−ln u)
+
+    with u a deterministic md5-60 uniform in (0,1) keyed on
+    (seed, doc_id) — reproducible across engines and retries, no RNG
+    state. ``key`` is rounded to 6 dp BEFORE the ranking and ties break
+    on doc_id (the tf_idf_top_terms rule). The global top-k is
+    orderBy().limit() — Catalyst's TakeOrderedAndProject (per-partition
+    heap + k-row driver merge), never a single-partition sort."""
+    two60 = float((1 << 60) + 1)
+    u = (
+        _md5_60(f"concat('dsir:{int(seed)}:', CAST(doc_id AS STRING))") + 1
+    ) / F.lit(two60)
+    keyed = dsir_log_weights(documents, target_predicate, buckets).select(
+        "doc_id",
+        "logw",
+        F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("key"),
+    )
+    return keyed.orderBy(F.desc("key"), "doc_id").limit(int(keep))
+
+
 def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     """(doc_id, n_bigrams, cross_entropy) — per-document cross-entropy
     under an add-α-smoothed bigram language model trained on the corpus

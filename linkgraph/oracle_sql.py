@@ -696,6 +696,64 @@ ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
 """
 
 
+def dsir_sql(
+    target_predicate: str = "lang = 'en'",
+    keep: int = 100,
+    buckets: int = 4096,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of docs.dsir_resample — same md5-60 token bucketing,
+    same add-1 smoothed bucket models with the IDENTICAL division shape,
+    same rounded-logw-then-Gumbel key, same (key DESC, doc_id) top-k."""
+    b = int(buckets)
+    two60 = float((1 << 60) + 1)
+    salt = f"concat('dsir:{int(seed)}:', CAST(doc_id AS VARCHAR))"
+    u = f"(({_md5_60_duck(salt)}) + 1) / {two60!r}"
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                       s -> s <> '') AS tt
+    FROM documents
+),
+nb AS MATERIALIZED (
+    SELECT doc_id, {_md5_60_duck("w")} % {b} AS bucket, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(tt) AS w FROM toks)
+    GROUP BY doc_id, bucket
+),
+raw AS (SELECT bucket, SUM(n) AS cr FROM nb GROUP BY bucket),
+tgt AS (
+    SELECT nb.bucket, SUM(nb.n) AS ct
+    FROM nb JOIN (SELECT doc_id FROM documents WHERE {target_predicate}) t
+      ON nb.doc_id = t.doc_id
+    GROUP BY nb.bucket
+),
+model AS MATERIALIZED (
+    SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
+    FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+),
+tot AS (
+    SELECT (SELECT SUM(cr) FROM model) AS nr,
+           (SELECT SUM(ct) FROM model) AS nt
+),
+lw AS (
+    SELECT nb.doc_id,
+           ROUND(SUM(nb.n * (LN((m.ct + 1) / (tot.nt + {b}))
+                           - LN((m.cr + 1) / (tot.nr + {b})))), 6) AS logw
+    FROM nb JOIN model m ON nb.bucket = m.bucket CROSS JOIN tot
+    GROUP BY nb.doc_id
+),
+dense AS (
+    SELECT d.doc_id, COALESCE(l.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN lw l ON d.doc_id = l.doc_id
+)
+SELECT doc_id, logw,
+       ROUND(logw - LN(-LN({u})), 6) AS key
+FROM dense
+ORDER BY key DESC, doc_id LIMIT {int(keep)}
+"""
+
+
 def docs_sample_sql(rate: float = 0.25, seed: int = 42) -> str:
     """DuckDB twin of docs.sample_documents — same md5-60 threshold on
     the same salt string, so the selected set is identical by

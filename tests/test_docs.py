@@ -1191,3 +1191,83 @@ def test_pmi_min_count_and_topk_tiebreak(spark):
     rows = pmi_collocations(d, min_count=1, top_k=2).collect()
     assert [(r["w1"], r["w2"]) for r in rows] == [("p", "q"), ("r", "s")]
     assert pmi_collocations(d, min_count=2, top_k=10).count() == 0
+
+
+def _dsir_python(rows, target_ids, buckets=64):
+    """Pure-Python twin of dsir_log_weights: md5-60 token bucketing,
+    add-1 smoothed bucket models, Σ n·(ln p_t − ln p_r)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def toks(text):
+        return [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.lower().strip()) if t]
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % buckets
+
+    per_doc = {
+        doc_id: Counter(bucket(w) for w in toks(text)) for doc_id, text in rows
+    }
+    raw = Counter()
+    tgt = Counter()
+    for doc_id, c in per_doc.items():
+        raw.update(c)
+        if doc_id in target_ids:
+            tgt.update(c)
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for doc_id, c in per_doc.items():
+        lw = sum(
+            n
+            * (
+                math.log((tgt[b] + 1) / (nt + buckets))
+                - math.log((raw[b] + 1) / (nr + buckets))
+            )
+            for b, n in c.items()
+        )
+        out[doc_id] = round(lw, 6)
+    return out
+
+
+def test_dsir_log_weights_matches_python_twin(spark):
+    from linkgraph.docs import dsir_log_weights
+
+    rows = [
+        (0, "alpha beta gamma alpha"),
+        (1, "alpha beta beta"),
+        (2, "delta epsilon zeta"),
+        (3, "delta delta eta theta"),
+        (4, "alpha delta"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, "en" if i < 2 else "fr") for i, t in rows],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(d, "lang = 'en'", buckets=64).collect()
+    }
+    want = _dsir_python(rows, target_ids={0, 1}, buckets=64)
+    assert got == pytest.approx(want, abs=1e-9)
+    # target-vocab docs must score above off-target-vocab docs
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+def test_dsir_resample_deterministic_topk(spark):
+    from linkgraph.docs import dsir_resample
+
+    d = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common", "en" if i % 2 == 0 else "fr")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    a = dsir_resample(d, "lang = 'en'", keep=10, buckets=64).collect()
+    b = dsir_resample(d, "lang = 'en'", keep=10, buckets=64).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 10
+    # the returned keys are exactly the 10 largest over the full corpus
+    full = dsir_resample(d, "lang = 'en'", keep=40, buckets=64).collect()
+    top = sorted(full, key=lambda r: (-r["key"], r["doc_id"]))[:10]
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in top]

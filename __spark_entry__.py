@@ -514,6 +514,13 @@ def _q_lm_score(spark, sf_dir):
     return docs.lm_cross_entropy(_docs(spark, sf_dir), alpha=0.5)
 
 
+def _q_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training, first 8 merge rules (round 5)
+    — exact Sennrich greedy-left semantics over the word-frequency dict,
+    vs an island-parity unrolled DuckDB rebuild."""
+    return docs.bpe_train(_docs(spark, sf_dir), merges=8)
+
+
 def _q_dsir(spark, sf_dir):
     """DSIR importance resampling toward the lang='en' slice (round 5) —
     hashed-unigram bucket models, add-1 smoothing, deterministic
@@ -736,10 +743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "docs_despan": _q_docs_despan,
-        "fingerprints": _q_fingerprints,
         "tfidf": _q_tfidf,
         "lm_score": _q_lm_score,
         "pmi": _q_pmi,
+        "bpe": _q_bpe,
         "pii_scrub": _q_pii_scrub,
         "chunks": _q_chunks,
         "pack": _q_pack,
@@ -767,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
+        "fingerprints": _q_fingerprints,
         "ivf_knn": _q_ivf_knn,
         "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,
@@ -867,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": osql.lm_cross_entropy_sql(alpha=0.5),
         "pmi": osql.pmi_sql(min_count=5, top_k=30),
         "dsir": osql.dsir_sql("lang = 'en'", keep=100, buckets=4096, seed=42),
+        "bpe": osql.bpe_sql(merges=8),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),

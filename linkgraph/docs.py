@@ -899,6 +899,103 @@ def pmi_collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
 
 
+def bpe_train(
+    documents: DataFrame, merges: int = 8, max_words: int | None = None
+) -> DataFrame:
+    """(rank, lhs, rhs, cnt) — the first ``merges`` byte-pair-encoding
+    merge rules learned from the corpus (Sennrich et al. 2016): start
+    from the per-character symbol sequence of every distinct whitespace
+    word (weighted by its corpus count), and per round (a) find the
+    adjacent symbol pair with the highest total count — ties broken
+    (cnt DESC, lhs, rhs) so the rule sequence is deterministic — then
+    (b) apply it greedily LEFT-TO-RIGHT inside every word (in 'aaa',
+    pair (a,a) merges positions 1-2, not 2-3). ``cnt`` is the pair's
+    corpus count at merge time. The tokenizer-training stage of a
+    pre-training pipeline, distributed: the reference semantics are the
+    sequential Sennrich loop, reproduced exactly.
+
+    Scale shape: all per-round state is the DISTINCT-WORD table
+    (``max_words`` caps it to the top-V words by count via a distributed
+    TakeOrdered — the standard word-frequency-dict formulation, so 100 TB
+    of text collapses to a vocabulary-sized state after one pass). Per
+    round: one in-array pair explode + aggregate (map-side combinable)
+    feeding a 1-row TakeOrdered argmax — the per-round ``.collect()`` is
+    that single best-pair statistic, never data — and one fold projection
+    (F.aggregate HOF, JVM-side) that applies the merge in-array; the
+    state is lazily localCheckpointed per round (next round's pairs agg
+    and the fold both consume it). Greedy-left is encoded in the fold
+    itself: a merged symbol is lhs||rhs which never equals lhs (rhs
+    nonempty), so the fold's look-back can never chain-merge through a
+    just-merged position. Training stops early if no adjacent pair is
+    left (every word fully merged). For real vocab sizes (~50k merges)
+    the per-round driver argmax round-trip dominates; production
+    variants batch the top-M pairwise-disjoint rules per round — kept
+    exact here for oracle parity."""
+    if merges < 0:
+        raise ValueError(f"merges must be >= 0, got {merges}")
+    spark = documents.sparkSession
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    words = (
+        documents.select(F.explode(F.expr(tt)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.desc("cnt"), "word").limit(int(max_words))
+    state = words.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    pairs_expr = F.expr(
+        "CASE WHEN size(s) >= 2 THEN "
+        "transform(sequence(1, size(s) - 1), "
+        "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b)) "
+        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    for k in range(1, merges + 1):
+        best = (
+            state.select(F.explode(pairs_expr).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        rules.append((k, a, b, c))
+        def make_fold(a=a, b=b):
+            la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+            def fold(acc, s):
+                # F.get (0-indexed, NULL out-of-bounds) not element_at:
+                # ANSI mode errors on element_at(empty, -1) and Catalyst
+                # does not guarantee short-circuit of the size() guard
+                last = F.get(acc, F.size(acc) - 1)
+                return F.when(
+                    (last == la) & (s == lb),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return fold
+
+        fold = make_fold()
+
+        state = state.select(
+            "cnt",
+            F.aggregate(
+                "s", F.expr("CAST(array() AS array<string>)"), fold
+            ).alias("s"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        rules, "rank long, lhs string, rhs string, cnt long"
+    )
+
+
 def dsir_log_weights(
     documents: DataFrame, target_predicate: str, buckets: int = 4096
 ) -> DataFrame:

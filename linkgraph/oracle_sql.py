@@ -696,6 +696,76 @@ ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
 """
 
 
+def bpe_sql(merges: int = 8) -> str:
+    """DuckDB twin of docs.bpe_train — unrolled merge rounds. The
+    engine's greedy-left in-array fold is rewritten as the island-parity
+    rule: within each maximal run of consecutive pair-match positions
+    (runs longer than 1 only occur when lhs = rhs), merge exactly the
+    even offsets from the run start — provably the same positions the
+    sequential left-to-right scan merges. Every round CTE is
+    AS MATERIALIZED (multi-referenced; the hits_sql re-inline hazard)."""
+    parts = [
+        """wc AS MATERIALIZED (
+    SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            s -> s <> '')) AS word
+        FROM documents)
+    GROUP BY word
+),
+st0 AS MATERIALIZED (
+    SELECT word, cnt,
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)) AS s
+    FROM wc
+)"""
+    ]
+    for k in range(1, merges + 1):
+        parts.append(
+            f"""best{k} AS MATERIALIZED (
+    SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT s[i] AS a, s[i + 1] AS b, cnt
+        FROM st{k - 1}, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+        WHERE len(s) >= 2
+    ) GROUP BY a, b
+    ORDER BY c DESC, a, b LIMIT 1
+),
+pos{k} AS (
+    SELECT t.word, t.cnt, u.i, t.s[u.i] AS sym, bb.a AS ba, bb.b AS bb2,
+           CASE WHEN u.i < len(t.s) AND t.s[u.i] = bb.a
+                 AND t.s[u.i + 1] = bb.b THEN 1 ELSE 0 END AS m
+    FROM st{k - 1} t CROSS JOIN best{k} bb,
+         UNNEST(generate_series(1, len(t.s))) AS u(i)
+),
+mrg{k} AS MATERIALIZED (
+    SELECT word, cnt, i, sym, ba, bb2,
+           CASE WHEN m = 1
+                 AND (i - MIN(i) OVER (PARTITION BY word, m, grp)) % 2 = 0
+                THEN 1 ELSE 0 END AS do_merge
+    FROM (SELECT *,
+                 i - ROW_NUMBER() OVER (PARTITION BY word, m ORDER BY i) AS grp
+          FROM pos{k})
+),
+st{k} AS MATERIALIZED (
+    SELECT word, cnt,
+           list(CASE WHEN do_merge = 1 THEN ba || bb2 ELSE sym END ORDER BY i) AS s
+    FROM (SELECT *,
+                 LAG(do_merge, 1, 0) OVER (PARTITION BY word ORDER BY i) AS consumed
+          FROM mrg{k})
+    WHERE consumed = 0
+    GROUP BY word, cnt
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, a AS lhs, b AS rhs, c AS cnt FROM best{k}"
+        for k in range(1, merges + 1)
+    )
+    return f"""
+WITH {",".join(parts)}
+{finals}
+"""
+
+
 def dsir_sql(
     target_predicate: str = "lang = 'en'",
     keep: int = 100,

@@ -1271,3 +1271,82 @@ def test_dsir_resample_deterministic_topk(spark):
     full = dsir_resample(d, "lang = 'en'", keep=40, buckets=64).collect()
     top = sorted(full, key=lambda r: (-r["key"], r["doc_id"]))[:10]
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in top]
+
+
+def _bpe_python(texts, merges):
+    """Sequential Sennrich BPE over the word-frequency dict — the
+    semantics bpe_train must reproduce exactly."""
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"[ \t\n\x0B\f\r]+", t.lower().strip()) if w]
+
+    wc = Counter(w for t in texts for w in toks(t))
+    words = {w: list(w) for w in wc}
+    rules = []
+    for k in range(1, merges + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((k, a, b, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return rules
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from linkgraph.docs import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "that thin theme then",
+        "aaa aa aaaa banana bandana",  # lhs==rhs greedy-left cases
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train(d, merges=6).orderBy("rank").collect()
+    ]
+    assert got == _bpe_python(texts, 6)
+
+
+def test_bpe_train_exhausts_and_stops_early(spark):
+    from linkgraph.docs import bpe_train
+
+    # single two-char word: exactly one merge possible, then no pairs left
+    d = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train(d, merges=5).collect()
+    ]
+    assert got == [(1, "a", "b", 3)]
+
+
+def test_bpe_train_max_words_caps_the_dict(spark):
+    from linkgraph.docs import bpe_train
+
+    # 'zz'×3 dominates; with max_words=1 only it trains the rules
+    d = spark.createDataFrame(
+        [(0, "zz zz zz qq qq pp")], "doc_id long, text string"
+    )
+    got = [
+        (r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train(d, merges=2, max_words=1).collect()
+    ]
+    assert got == [("z", "z", 3)]

@@ -396,6 +396,15 @@ def main() -> None:
         lambda: densest_subgraph(g).count(),
         repeats=3,
     )
+    # round 5 (continued): truncated Katz — the PageRank loop shape
+    # without the degree normalization
+    from linkgraph.operators import katz as _katz
+
+    timed(
+        "katz",
+        lambda: _katz(g, iterations=8).agg(F.sum("katz")).collect(),
+        repeats=3,
+    )
 
     # batch events operators on the sf events table (single-shuffle each)
     from linkgraph import events as _ev
@@ -409,6 +418,13 @@ def main() -> None:
     timed(
         "events_rollup",
         lambda: _ev.rollup(events_df).agg(F.sum("sum_value")).collect(),
+        repeats=3,
+    )
+    timed(
+        "retention",
+        lambda: _ev.retention(events_df, period="day")
+        .agg(F.sum("retention"))
+        .collect(),
         repeats=3,
     )
 
@@ -616,6 +632,36 @@ def main() -> None:
                 buckets=10,
             )
             .agg(F.sum("rank"), F.max("bucket"))
+            .collect(),
+        )
+        # round 5 (continued): PMI collocations, DSIR resampling toward
+        # the license-doc slice, and 8 rounds of distributed BPE training
+        timed_docs(
+            "pmi",
+            lambda: docmod.pmi_collocations(corpus, min_count=5, top_k=30)
+            .agg(F.sum("pmi"))
+            .collect(),
+        )
+        timed_docs(
+            "dsir",
+            lambda: docmod.dsir_resample(
+                corpus, "doc_id % 5 = 0", keep=1000, buckets=4096
+            )
+            .agg(F.sum("key"))
+            .collect(),
+        )
+        timed_docs(
+            "bpe",
+            lambda: docmod.bpe_train(corpus, merges=8)
+            .agg(F.sum("cnt"))
+            .collect(),
+        )
+        timed_docs(
+            "quality_clf",
+            lambda: docmod.quality_classifier(
+                corpus, "doc_id % 5 = 0", steps=3, buckets=512
+            )
+            .agg(F.sum("score"))
             .collect(),
         )
         timed_docs(

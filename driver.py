@@ -51,6 +51,7 @@ ALGOS = (
     "node2vec",
     "coloring",
     "densest",
+    "katz",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -71,9 +72,13 @@ DOC_ALGOS = (
     "lm_score",
     "chunks",
     "pack",
+    "pmi",
+    "dsir",
+    "bpe",
+    "quality_clf",
 )
 # event-stream analytics over an events table (--events input)
-EVENT_ALGOS = ("sessionize", "rollup", "funnel")
+EVENT_ALGOS = ("sessionize", "rollup", "funnel", "retention")
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
@@ -115,6 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-tokens", type=int, default=512, help="--algo chunks size")
     p.add_argument("--chunk-overlap", type=int, default=0, help="--algo chunks overlap")
     p.add_argument("--window-tokens", type=int, default=2048, help="--algo pack window")
+    p.add_argument("--min-count", type=int, default=5, help="--algo pmi bigram floor")
+    p.add_argument("--target-predicate", default="lang = 'en'",
+                   help="--algo dsir target slice (SQL boolean over documents)")
+    p.add_argument("--keep", type=int, default=1000, help="--algo dsir kept docs")
+    p.add_argument("--dsir-buckets", type=int, default=4096,
+                   help="--algo dsir hashed-feature buckets")
+    p.add_argument("--merges", type=int, default=8, help="--algo bpe merge rules")
+    p.add_argument("--gd-steps", type=int, default=3,
+                   help="--algo quality_clf full-batch GD steps")
     p.add_argument("--steps", default="view,click,purchase",
                    help="comma-separated event_type sequence for --algo funnel")
     p.add_argument("--within-seconds", type=int, default=3600,
@@ -122,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gap-seconds", type=int, default=1800,
                    help="session gap for --algo sessionize")
     p.add_argument("--bucket", default="hour", help="--algo rollup time bucket")
+    p.add_argument("--period", default="week",
+                   help="--algo retention cohort period (hour/day/week)")
     p.add_argument("--min-span-len", type=int, default=50,
                    help="minimum repeated-span length (chars) for --algo despan")
     p.add_argument("--walk-length", type=int, default=4, help="hops for walks/node2vec")
@@ -249,6 +265,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import densest_subgraph
 
         result = densest_subgraph(g)
+    elif args.algo == "katz":
+        from linkgraph.operators import katz
+
+        result = katz(g, iterations=args.iterations)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 
@@ -338,6 +358,23 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         )
     elif args.algo == "pack":
         result = docmod.pack_windows(documents, window_tokens=args.window_tokens)
+    elif args.algo == "pmi":
+        result = docmod.pmi_collocations(
+            documents, min_count=args.min_count, top_k=args.top_terms
+        )
+    elif args.algo == "dsir":
+        result = docmod.dsir_resample(
+            documents, args.target_predicate, keep=args.keep, buckets=args.dsir_buckets
+        )
+    elif args.algo == "bpe":
+        result = docmod.bpe_train(documents, merges=args.merges)
+    elif args.algo == "quality_clf":
+        result = docmod.quality_classifier(
+            documents,
+            args.target_predicate,
+            steps=args.gd_steps,
+            buckets=args.dsir_buckets,
+        )
     else:
         result = docmod.language_id(documents)
     result.write.mode("overwrite").parquet(args.output)
@@ -369,6 +406,8 @@ def _run_event_algo(spark: SparkSession, args) -> int:
         result = evmod.sessionize(events, gap_seconds=args.gap_seconds)
     elif args.algo == "rollup":
         result = evmod.rollup(events, bucket=args.bucket)
+    elif args.algo == "retention":
+        result = evmod.retention(events, period=args.period)
     else:
         steps = [s.strip() for s in args.steps.split(",") if s.strip()]
         within = args.within_seconds if args.within_seconds > 0 else None

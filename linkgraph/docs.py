@@ -996,6 +996,75 @@ def bpe_train(
     )
 
 
+def bpe_token_counts(
+    documents: DataFrame, merges: int = 8, max_words: int | None = None
+) -> DataFrame:
+    """(doc_id, n_tokens) — per-document token count under the BPE
+    vocabulary just trained by ``bpe_train`` on this same corpus: learn
+    the first ``merges`` rules, apply them (same greedy-left fold) to
+    every distinct word, then charge each document Σ len(bpe(word)) over
+    its word instances. The token-budget accounting stage a pipeline
+    runs between tokenizer training and sequence packing. Zero-token
+    docs report 0.
+
+    Scale shape: the rules come back from bpe_train's per-round argmax
+    (a ``merges``-row driver artifact, the IVF-centroid pattern); they
+    are applied to the DISTINCT-WORD table — one fold projection per
+    rule over vocab-sized state, never over the corpus — and the
+    per-word token length joins the corpus's (doc_id, word) instance
+    counts on the word key. With a capped training dict (``max_words``)
+    the rules still APPLY to every distinct word — rare words simply
+    merge only where a learned pair happens to match, exactly like
+    out-of-domain text under a production tokenizer."""
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(documents, merges=merges, max_words=max_words)
+        .orderBy("rank")
+        .collect()
+    ]
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    inst = (
+        documents.select("doc_id", F.explode(F.expr(tt)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # consumers: word dict + the join
+    )
+    wlen = inst.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("s"),
+    )
+    for a, b in rules:
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def make_fold(la=la, lb=lb, lab=lab):
+            def fold(acc, s):
+                last = F.get(acc, F.size(acc) - 1)
+                return F.when(
+                    (last == la) & (s == lb),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return fold
+
+        wlen = wlen.select(
+            "word",
+            F.aggregate(
+                "s", F.expr("CAST(array() AS array<string>)"), make_fold()
+            ).alias("s"),
+        )
+    wlen = wlen.select("word", F.size("s").cast("long").alias("toks"))
+    per_doc = (
+        inst.join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("toks")).alias("n_tokens"))
+    )
+    return documents.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens")
+    )
+
+
 def dsir_log_weights(
     documents: DataFrame, target_predicate: str, buckets: int = 4096
 ) -> DataFrame:
@@ -1098,6 +1167,109 @@ def dsir_resample(
         F.round(F.col("logw") - F.log(-F.log(u)), 6).alias("key"),
     )
     return keyed.orderBy(F.desc("key"), "doc_id").limit(int(keep))
+
+
+def quality_classifier(
+    documents: DataFrame,
+    label_predicate: str,
+    steps: int = 3,
+    lr: float = 1.0,
+    buckets: int = 512,
+    l2: float = 0.0,
+    return_weights: bool = False,
+) -> DataFrame:
+    """(doc_id, score) — a weak-supervision quality classifier trained
+    IN-ENGINE by full-batch gradient descent: logistic regression on
+    hashed-unigram features, labels y = 1 for documents matching
+    ``label_predicate`` (a SQL boolean), y = 0 otherwise. The GPT-3 /
+    CCNet quality-filter stage (train on known-good vs raw, keep
+    high-score docs) without any external model artifact.
+
+        x_d  = per-doc bucket counts / doc length, plus an intercept
+        p_d  = 1 / (1 + exp(−Σ_b x_db·w_b))
+        w_b ← w_b − lr·[ (1/N)·Σ_d x_db·(p_d − y_d) + l2·w_b ]
+
+    run for exactly ``steps`` full-batch steps from w = 0 (fixed-round
+    parity, the reference's fixed-10 PageRank discipline). With
+    ``return_weights`` the fitted (bucket, w) model is returned instead
+    (bucket −1 is the intercept); score floats rounded to 6 dp.
+
+    Scale shape: the trainable state is B+1 rows (``buckets`` weights +
+    intercept) — NEVER driver-side; each step is two shuffles, a
+    doc-keyed margin aggregate (feats ⋈ broadcast-able weights) and a
+    bucket-keyed gradient aggregate, both map-side combinable. The
+    feature table is built once (tokenize + explode + per-doc count),
+    lazily checkpointed — every step's margin join AND gradient join
+    consume it (the fan-out recompute pitfall). Batch GD costs one
+    corpus pass per step by construction; at 100 TB you'd run the same
+    plan on a sampled training slice and score the full corpus with the
+    final broadcast weights — the scoring join is embarrassingly
+    parallel."""
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    b, rate, lam = int(buckets), float(lr), float(l2)
+    tt = "filter(" + _TOKENIZE + ", s -> s != '')"
+    toks = documents.select(
+        "doc_id", F.explode(F.expr(tt)).alias("w")
+    ).select("doc_id", (_md5_60("w") % b).alias("bucket"))
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    counts = toks.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    feats = (
+        counts.join(lens, "doc_id")
+        .select("doc_id", "bucket", (F.col("n") / F.col("len")).alias("x"))
+        .unionByName(
+            documents.select(
+                "doc_id", F.lit(-1).cast("long").alias("bucket"), F.lit(1.0).alias("x")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = documents.select(
+        "doc_id",
+        F.when(F.expr(label_predicate), 1.0).otherwise(0.0).alias("y"),
+    )
+    n_docs = documents.agg(F.count("*").alias("n"))
+    w = feats.select("bucket").distinct().select("bucket", F.lit(0.0).alias("w"))
+
+    def margins(weights: DataFrame) -> DataFrame:
+        return (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        )
+
+    for _ in range(steps):
+        resid = (
+            labels.join(margins(w), "doc_id")
+            .select(
+                "doc_id",
+                (1.0 / (1.0 + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .crossJoin(F.broadcast(n_docs))
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("r")) / F.first("n")).alias("g"))
+        )
+        w = (
+            w.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("w")
+                    - F.lit(rate)
+                    * (F.coalesce("g", F.lit(0.0)) + F.lit(lam) * F.col("w"))
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    if return_weights:
+        return w.select("bucket", F.round("w", 6).alias("w"))
+    return margins(w).select(
+        "doc_id", F.round(1.0 / (1.0 + F.exp(-F.col("m"))), 6).alias("score")
+    )
 
 
 def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:

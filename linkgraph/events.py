@@ -143,3 +143,69 @@ def funnel(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_PERIOD_US = {
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def retention(events: DataFrame, period: str = "week") -> DataFrame:
+    """Cohort retention — the product-analytics staple:
+
+        (cohort_us, period, n_active, cohort_size, retention)
+
+    one row per (cohort, k): users whose FIRST activity falls in
+    date_trunc(``period``) bucket ``cohort_us`` (epoch microseconds)
+    who were active again k periods later; retention = n_active /
+    cohort_size rounded to 6 dp (k = 0 is 1.0 by construction).
+    ``period`` must be a fixed-length calendar unit (hour/day/week —
+    TIMESTAMP_NTZ has no DST, so trunc-bucket differences are exact
+    multiples of the period; months are not fixed-length and are
+    deliberately unsupported).
+
+    Plan shape: one DISTINCT (user, bucket) shuffle, a per-user min
+    aggregate for the cohort, one user-keyed join back, and one
+    (cohort, k) aggregate with an exact COUNT(DISTINCT user) — the
+    distinct's key set is already (user, bucket), so the count is a
+    cheap re-shuffle on the cohort key; cohort sizes come from the
+    k = 0 rows themselves (every user is active in their own first
+    period), a broadcast-sized cohort-keyed self-join, not a second
+    corpus pass."""
+    if period not in _PERIOD_US:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_US)}, got {period!r}")
+    p_us = _PERIOD_US[period]
+    ub = (
+        events.select(
+            "user_id",
+            _ntz_micros(F.date_trunc(period, F.col("ts"))).alias("bucket_us"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: cohort min-agg + the join
+    )
+    cohort = ub.groupBy("user_id").agg(F.min("bucket_us").alias("cohort_us"))
+    active = (
+        ub.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_us",
+            ((F.col("bucket_us") - F.col("cohort_us")) / F.lit(p_us))
+            .cast("long")
+            .alias("period"),
+        )
+        .groupBy("cohort_us", "period")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .localCheckpoint(eager=False)  # consumers: k=0 sizes + the join
+    )
+    sizes = active.filter(F.col("period") == 0).select(
+        "cohort_us", F.col("n_active").alias("cohort_size")
+    )
+    return active.join(F.broadcast(sizes), "cohort_us").select(
+        "cohort_us",
+        "period",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

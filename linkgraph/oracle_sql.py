@@ -696,14 +696,16 @@ ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
 """
 
 
-def bpe_sql(merges: int = 8) -> str:
-    """DuckDB twin of docs.bpe_train — unrolled merge rounds. The
-    engine's greedy-left in-array fold is rewritten as the island-parity
-    rule: within each maximal run of consecutive pair-match positions
-    (runs longer than 1 only occur when lhs = rhs), merge exactly the
-    even offsets from the run start — provably the same positions the
-    sequential left-to-right scan merges. Every round CTE is
-    AS MATERIALIZED (multi-referenced; the hits_sql re-inline hazard)."""
+def _bpe_ctes(merges: int) -> str:
+    """Shared CTE chain for bpe_sql / bpe_counts_sql — unrolled merge
+    rounds ending in st{merges} (word, cnt, final symbol list) and
+    best1..best{merges} (the learned rules). The engine's greedy-left
+    in-array fold is rewritten as the island-parity rule: within each
+    maximal run of consecutive pair-match positions (runs longer than 1
+    only occur when lhs = rhs), merge exactly the even offsets from the
+    run start — provably the same positions the sequential left-to-right
+    scan merges. Every round CTE is AS MATERIALIZED (multi-referenced;
+    the hits_sql re-inline hazard)."""
     parts = [
         """wc AS MATERIALIZED (
     SELECT word, COUNT(*) AS cnt FROM (
@@ -756,13 +758,110 @@ st{k} AS MATERIALIZED (
     GROUP BY word, cnt
 )"""
         )
+    return ",".join(parts)
+
+
+def bpe_sql(merges: int = 8) -> str:
+    """DuckDB twin of docs.bpe_train — the learned rules from the shared
+    unrolled chain (_bpe_ctes)."""
     finals = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS rank, a AS lhs, b AS rhs, c AS cnt FROM best{k}"
         for k in range(1, merges + 1)
     )
     return f"""
-WITH {",".join(parts)}
+WITH {_bpe_ctes(merges)}
 {finals}
+"""
+
+
+def bpe_counts_sql(merges: int = 8) -> str:
+    """DuckDB twin of docs.bpe_token_counts — per-doc Σ n(word)·len(bpe
+    word) over the shared chain's final symbol table."""
+    return f"""
+WITH {_bpe_ctes(merges)},
+inst AS (
+    SELECT doc_id, word, COUNT(*) AS n FROM (
+        SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+            s -> s <> '')) AS word
+        FROM documents)
+    GROUP BY doc_id, word
+),
+per_doc AS (
+    SELECT i.doc_id, CAST(SUM(i.n * len(st.s)) AS BIGINT) AS n_tokens
+    FROM inst i JOIN st{merges} st ON i.word = st.word
+    GROUP BY i.doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def quality_clf_sql(
+    label_predicate: str = "lang = 'en'",
+    steps: int = 3,
+    lr: float = 1.0,
+    buckets: int = 512,
+    l2: float = 0.0,
+) -> str:
+    """DuckDB twin of docs.quality_classifier — unrolled full-batch GD
+    steps over the same md5-60 hashed features (intercept = bucket −1),
+    the IDENTICAL sigmoid/gradient/update expression shapes, 6-dp round
+    on the final score only."""
+    b, rate, lam = int(buckets), float(lr), float(l2)
+    parts = [
+        f"""toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+                       s -> s <> '') AS tt
+    FROM documents
+),
+tb AS (
+    SELECT doc_id, {_md5_60_duck("w")} % {b} AS bucket
+    FROM (SELECT doc_id, unnest(tt) AS w FROM toks)
+),
+feats AS MATERIALIZED (
+    SELECT c.doc_id, c.bucket, c.n / l.len AS x
+    FROM (SELECT doc_id, bucket, COUNT(*) AS n FROM tb GROUP BY doc_id, bucket) c
+    JOIN (SELECT doc_id, COUNT(*) AS len FROM tb GROUP BY doc_id) l
+      ON c.doc_id = l.doc_id
+    UNION ALL
+    SELECT doc_id, CAST(-1 AS BIGINT) AS bucket, 1.0 AS x FROM documents
+),
+labels AS MATERIALIZED (
+    SELECT doc_id, CASE WHEN {label_predicate} THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM feats)"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""m{k} AS (
+    SELECT f.doc_id, SUM(f.x * w.w) AS m
+    FROM feats f JOIN w{k - 1} w ON f.bucket = w.bucket GROUP BY f.doc_id
+),
+r{k} AS MATERIALIZED (
+    SELECT l.doc_id, (1.0 / (1.0 + EXP(-m.m)) - l.y) AS r
+    FROM labels l JOIN m{k} m ON l.doc_id = m.doc_id
+),
+g{k} AS (
+    SELECT f.bucket, SUM(f.x * r.r) / nn.n AS g
+    FROM feats f JOIN r{k} r ON f.doc_id = r.doc_id CROSS JOIN nn
+    GROUP BY f.bucket, nn.n
+),
+w{k} AS MATERIALIZED (
+    SELECT w.bucket, w.w - {rate!r} * (COALESCE(g.g, 0.0) + {lam!r} * w.w) AS w
+    FROM w{k - 1} w LEFT JOIN g{k} g ON w.bucket = g.bucket
+)"""
+        )
+    return f"""
+WITH {",".join(parts)},
+mf AS (
+    SELECT f.doc_id, SUM(f.x * w.w) AS m
+    FROM feats f JOIN w{steps} w ON f.bucket = w.bucket GROUP BY f.doc_id
+)
+SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-m)), 6) AS score FROM mf
 """
 
 
@@ -2193,6 +2292,35 @@ SELECT user_id, session_id,
        ROUND(SUM(value), 6) AS total_value
 FROM sess
 GROUP BY user_id, session_id
+"""
+
+
+def retention_sql(period: str = "week") -> str:
+    """DuckDB twin of events.retention — same date_trunc buckets in
+    epoch microseconds, same exact-multiple period arithmetic."""
+    p_us = {"hour": 3_600_000_000, "day": 86_400_000_000, "week": 7 * 86_400_000_000}[
+        period
+    ]
+    return f"""
+WITH ub AS MATERIALIZED (
+    SELECT DISTINCT user_id, epoch_us(date_trunc('{period}', ts)) AS bucket_us
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(bucket_us) AS cohort_us FROM ub GROUP BY user_id
+),
+active AS MATERIALIZED (
+    SELECT c.cohort_us,
+           CAST((u.bucket_us - c.cohort_us) / {p_us} AS BIGINT) AS period,
+           COUNT(DISTINCT u.user_id) AS n_active
+    FROM ub u JOIN cohort c ON u.user_id = c.user_id
+    GROUP BY 1, 2
+)
+SELECT a.cohort_us, a.period, a.n_active, s.cohort_size,
+       ROUND(a.n_active / s.cohort_size, 6) AS retention
+FROM active a
+JOIN (SELECT cohort_us, n_active AS cohort_size FROM active WHERE period = 0) s
+  ON a.cohort_us = s.cohort_us
 """
 
 

@@ -1350,3 +1350,95 @@ def test_bpe_train_max_words_caps_the_dict(spark):
         for r in bpe_train(d, merges=2, max_words=1).collect()
     ]
     assert got == [("z", "z", 3)]
+
+
+def test_quality_classifier_matches_python_gd_twin(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from linkgraph.docs import quality_classifier
+
+    rows = [
+        (0, "good clean prose text here", 1),
+        (1, "good clean wording text flows", 1),
+        (2, "spam spam buy now click", 0),
+        (3, "click buy spam offer now", 0),
+        (4, "prose text buy here", 1),
+    ]
+    B, STEPS, LR = 64, 3, 1.0
+    d = spark.createDataFrame(
+        [(i, t, "en" if y else "xx") for i, t, y in rows],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in quality_classifier(
+            d, "lang = 'en'", steps=STEPS, lr=LR, buckets=B
+        ).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % B
+
+    feats, ys = {}, {}
+    for doc_id, text, y in rows:
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.lower().strip()) if t]
+        c = Counter(bucket(t) for t in toks)
+        f = {b: n / len(toks) for b, n in c.items()}
+        f[-1] = 1.0  # intercept
+        feats[doc_id], ys[doc_id] = f, float(y)
+    w = {b: 0.0 for f in feats.values() for b in f}
+    n = len(rows)
+    for _ in range(STEPS):
+        resid = {
+            d_: 1.0 / (1.0 + math.exp(-sum(x * w[b] for b, x in f.items()))) - ys[d_]
+            for d_, f in feats.items()
+        }
+        grad = {b: 0.0 for b in w}
+        for d_, f in feats.items():
+            for b, x in f.items():
+                grad[b] += x * resid[d_]
+        w = {b: w[b] - LR * grad[b] / n for b in w}
+    for doc_id, f in feats.items():
+        p = 1.0 / (1.0 + math.exp(-sum(x * w[b] for b, x in f.items())))
+        assert got[doc_id] == pytest.approx(round(p, 6), abs=1e-9)
+    # separable vocab: every y=1 doc must outscore every y=0 doc
+    assert min(got[0], got[1], got[4]) > max(got[2], got[3])
+
+
+def test_quality_classifier_weights_shape(spark):
+    from linkgraph.docs import quality_classifier
+
+    d = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "gamma delta", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    w = quality_classifier(
+        d, "lang = 'en'", steps=1, buckets=32, return_weights=True
+    ).collect()
+    bs = {r["bucket"] for r in w}
+    assert -1 in bs and all(-1 <= b_ < 32 for b_ in bs)
+
+
+def test_bpe_token_counts_closed_form(spark):
+    from linkgraph.docs import bpe_token_counts
+
+    # corpus: 'ab'×3, 'abc'×1 → rule 1 merges (a,b) cnt=4; rule 2 merges
+    # (ab,c) cnt=1. After 2 merges: ab→[ab] (1 tok), abc→[abc] (1 tok)
+    d = spark.createDataFrame(
+        [(0, "ab ab abc"), (1, "ab"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(d, merges=2).collect()
+    }
+    assert got == {0: 3, 1: 1, 2: 0}
+    # with merges=1 only (a,b) learned: abc → [ab, c] = 2 tokens
+    got1 = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(d, merges=1).collect()
+    }
+    assert got1 == {0: 4, 1: 1, 2: 0}

@@ -159,3 +159,44 @@ def test_funnel_first_touch_policy_pinned(spark):
         for r in funnel(df, ["view", "click", "purchase"], within_seconds=10).collect()
     }
     assert got == {0: 1, 1: 1, 2: 0}
+
+
+def test_retention_planted_cohorts(spark):
+    from datetime import datetime
+
+    from linkgraph.events import retention
+
+    # cohort A (Jan 1 week): users 1,2 — user 1 returns week 1 and 2,
+    # user 2 only week 2. cohort B (Jan 8 week): user 3, never returns.
+    rows = [
+        (1, datetime(2024, 1, 1), 1), (2, datetime(2024, 1, 8), 1),
+        (3, datetime(2024, 1, 15), 1), (4, datetime(2024, 1, 2), 2),
+        (5, datetime(2024, 1, 16), 2), (6, datetime(2024, 1, 9), 3),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["cohort_us"], r["period"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in retention(df, period="week").collect()
+    }
+    wk = 7 * 86_400_000_000
+    a = datetime(2024, 1, 1).timestamp()  # trunc('week') of Jan 1 2024 (a Monday)
+    a_us = 1704067200 * 1_000_000
+    b_us = a_us + wk
+    assert got[(a_us, 0)] == (2, 2, 1.0)
+    assert got[(a_us, 1)] == (1, 2, 0.5)
+    assert got[(a_us, 2)] == (2, 2, 1.0)
+    assert got[(b_us, 0)] == (1, 1, 1.0)
+    assert len(got) == 4
+
+
+def test_retention_rejects_variable_periods(spark):
+    import pytest as _pytest
+
+    from linkgraph.events import retention
+
+    with _pytest.raises(ValueError):
+        retention(spark.range(1), period="month")

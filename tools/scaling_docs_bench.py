@@ -13,7 +13,8 @@ per-job driver latency; the operator runs ``REPEATS`` back-to-back times
 per level and the MIN wall is the number of record (tenancy only ever
 adds time).
 
-Usage:  python tools/scaling_docs_bench.py [dedup_clusters|lm_score|semantic_dedup]
+Usage:  python tools/scaling_docs_bench.py
+            [dedup_clusters|lm_score|semantic_dedup|quality_clf|bpe]
         python tools/scaling_docs_bench.py --child 8 dedup_clusters
 """
 
@@ -77,6 +78,15 @@ def child(cores: int, op: str) -> None:
             docmod.dedup_clusters(corpus, max_bucket_size=1000).count()
         elif op == "lm_score":
             docmod.lm_cross_entropy(corpus).agg(F.sum("cross_entropy")).collect()
+        elif op == "quality_clf":
+            # round 5: 3 full-batch GD steps = 7 corpus-pass join-aggs
+            docmod.quality_classifier(
+                corpus, "doc_id % 5 = 0", steps=3, buckets=512
+            ).agg(F.sum("score")).collect()
+        elif op == "bpe":
+            # round 5: tokenizer training — one corpus pass to the word
+            # dict, then 8 vocab-sized argmax+fold rounds
+            docmod.bpe_train(corpus, merges=8).agg(F.sum("cnt")).collect()
         elif op == "semantic_dedup":
             from linkgraph import similarity
 

@@ -530,6 +530,14 @@ def _q_bpe(spark, sf_dir):
     return docs.bpe_train(_docs(spark, sf_dir), merges=8)
 
 
+def _q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition census (round 5) — largest-SCC core
+    + IN/OUT reachability sweeps; tail variant on the scc machinery."""
+    from linkgraph.operators import bowtie_census
+
+    return bowtie_census(_graph(spark, sf_dir))
+
+
 def _q_bpe_counts(spark, sf_dir):
     """Per-doc token counts under the just-trained 8-rule BPE vocab
     (round 5) — tail variant; shares the in-window bpe machinery."""
@@ -806,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "bpe_counts": _q_bpe_counts,
+        "bowtie": _q_bowtie,
         "ivf_knn": _q_ivf_knn,
         "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,
@@ -911,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
             "lang = 'en'", steps=3, lr=1.0, buckets=256
         ),
         "bpe_counts": osql.bpe_counts_sql(merges=8),
+        "bowtie": osql.bowtie_sql(),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),

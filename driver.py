@@ -52,6 +52,7 @@ ALGOS = (
     "coloring",
     "densest",
     "katz",
+    "bowtie",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -269,6 +270,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import katz
 
         result = katz(g, iterations=args.iterations)
+    elif args.algo == "bowtie":
+        from linkgraph.operators import bowtie_census
+
+        result = bowtie_census(g)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 

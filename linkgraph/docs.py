@@ -1222,6 +1222,12 @@ def quality_classifier(
                 "doc_id", F.lit(-1).cast("long").alias("bucket"), F.lit(1.0).alias("x")
             )
         )
+        # hash-partition ON doc_id before the checkpoint: every GD step
+        # re-reads this table twice (margin groupBy(doc_id) and the
+        # gradient's doc_id join) — pinning the partitioning once removes
+        # two corpus-sized exchanges PER STEP (localCheckpoint preserves
+        # the output partitioning, so Catalyst reuses it downstream)
+        .repartition("doc_id")
         .localCheckpoint(eager=False)
     )
     labels = documents.select(

@@ -29,7 +29,7 @@ from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
 from linkgraph.operators.matching import maximal_matching
 from linkgraph.operators.mis import maximal_independent_set
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
-from linkgraph.operators.scc import scc, scc_census
+from linkgraph.operators.scc import bowtie_census, scc, scc_census
 from linkgraph.operators.spmv import spmv
 from linkgraph.operators.stats import (
     conductance,
@@ -75,6 +75,7 @@ __all__ = [
     "spmv",
     "sssp",
     "scc",
+    "bowtie_census",
     "scc_census",
     "triangle_count",
     "triangles_per_vertex",

@@ -182,3 +182,72 @@ def scc_census(graph: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
     wcc.validate_wcc: sizes sum to V."""
     labels = scc_labels if scc_labels is not None else scc(graph)
     return labels.groupBy("scc").agg(F.count(F.lit(1)).alias("size"))
+
+
+def _reachable(edges: DataFrame, seeds: DataFrame, frm: str, to: str) -> DataFrame:
+    """(id) — every vertex reachable from ``seeds`` following edges in
+    the ``frm`` → ``to`` direction (seeds included). Classic frontier
+    sweep: per level one edges⋈frontier join, an anti-join against the
+    visited set, and a count action (the level's convergence statistic);
+    both sets are eagerly checkpointed — visited fans out (anti-join +
+    union + final count) and its union lineage would otherwise deepen
+    per level."""
+    visited = seeds.select("id").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    while True:
+        nxt = (
+            edges.join(frontier, edges[frm] == frontier["id"])
+            .select(F.col(to).alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            return visited
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+
+def bowtie_census(graph: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
+    """One row (n_core, n_in, n_out, n_other) — the Broder et al. (2000)
+    bow-tie decomposition of a directed graph: CORE = the largest SCC
+    (ties broken by min label, deterministic), OUT = reachable FROM the
+    core (excluded), IN = reaching the core (excluded), OTHER = tendrils,
+    tubes and disconnected pieces. THE structural census of a web-scale
+    link graph; fwd ∩ bwd = core exactly (a vertex both reaching and
+    reached by the core is in the core's SCC), so the four counts
+    partition V.
+
+    Plan shape: the SCC labeling (scc.py's FW-BW-Trim coloring), one
+    (scc)-keyed size aggregate whose argmax is a 1-row TakeOrdered, a
+    broadcast semi-join to materialize the core id set, and two frontier
+    reachability sweeps (one per edge direction) — each level a single
+    edges⋈frontier join with an anti-join dedup; counts combine as lazy
+    1-row crossJoined aggregates."""
+    labels = scc_labels if scc_labels is not None else scc(graph)
+    sizes = labels.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+    top = sizes.orderBy(F.desc("n"), "scc").limit(1).select("scc")
+    core = (
+        labels.join(F.broadcast(top), "scc", "left_semi")
+        .select("id")
+        .localCheckpoint(eager=True)  # seeds both sweeps + the core count
+    )
+    edges = graph.edges.select("src", "dst")
+    fwd = _reachable(edges, core, "src", "dst")  # core ∪ OUT
+    bwd = _reachable(edges, core, "dst", "src")  # core ∪ IN
+    c_core = core.agg(F.count("*").alias("n_core"))
+    c_fwd = fwd.agg(F.count("*").alias("nf"))
+    c_bwd = bwd.agg(F.count("*").alias("nb"))
+    v = int(graph.num_vertices)
+    return (
+        c_core.crossJoin(c_fwd)
+        .crossJoin(c_bwd)
+        .select(
+            F.col("n_core").cast("long").alias("n_core"),
+            (F.col("nb") - F.col("n_core")).cast("long").alias("n_in"),
+            (F.col("nf") - F.col("n_core")).cast("long").alias("n_out"),
+            (F.lit(v) - (F.col("nf") + F.col("nb") - F.col("n_core")))
+            .cast("long")
+            .alias("n_other"),
+        )
+    )

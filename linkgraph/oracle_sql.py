@@ -2231,6 +2231,47 @@ GROUP BY r1.id
 """
 
 
+def bowtie_sql() -> str:
+    """DuckDB twin of operators/scc.py:bowtie_census — SCC by the
+    reachability definition (scc_sql's spec), largest-SCC core by
+    (size DESC, scc ASC), forward/backward recursive sweeps from the
+    core, counts partitioning V."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+reach(source, id) AS (
+    SELECT v.id AS source, v.id AS id FROM vertices v
+    UNION
+    SELECT r.source, e.dst AS id FROM edges e JOIN reach r ON e.src = r.id
+),
+sccs AS MATERIALIZED (
+    SELECT r1.id AS id, MIN(r1.source) AS scc
+    FROM reach r1 JOIN reach r2 ON r1.id = r2.source AND r1.source = r2.id
+    GROUP BY r1.id
+),
+core AS MATERIALIZED (
+    SELECT id FROM sccs
+    WHERE scc = (SELECT scc FROM sccs GROUP BY scc
+                 ORDER BY COUNT(*) DESC, scc LIMIT 1)
+),
+fwd(id) AS (
+    SELECT id FROM core
+    UNION
+    SELECT e.dst FROM edges e JOIN fwd f ON e.src = f.id
+),
+bwd(id) AS (
+    SELECT id FROM core
+    UNION
+    SELECT e.src FROM edges e JOIN bwd b ON e.dst = b.id
+)
+SELECT (SELECT COUNT(*) FROM core) AS n_core,
+       (SELECT COUNT(*) FROM bwd) - (SELECT COUNT(*) FROM core) AS n_in,
+       (SELECT COUNT(*) FROM fwd) - (SELECT COUNT(*) FROM core) AS n_out,
+       (SELECT COUNT(*) FROM vertices)
+         - ((SELECT COUNT(*) FROM fwd) + (SELECT COUNT(*) FROM bwd)
+            - (SELECT COUNT(*) FROM core)) AS n_other
+"""
+
+
 # ------------------------------------------------------------------ events
 def funnel_sql(steps: list[str], within_seconds: int | None = 3600) -> str:
     """DuckDB twin of events.funnel: one MIN-aggregate CTE per step,

@@ -111,3 +111,41 @@ def test_ivf_seed_no_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in seed_plan, seed_plan
     assert "Sort " not in seed_plan, seed_plan
+
+
+def test_pmi_and_dsir_topk_no_global_sort(spark):
+    """pmi_collocations' and dsir_resample's global top-k must compile to
+    TakeOrderedAndProject (per-partition heap + k-row driver merge), never
+    a global Sort+Exchange — the corpus-wide sort would dominate at
+    100 TB; a heap over (rounded) keys is free."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        docs.pmi_collocations(d, min_count=2, top_k=10),
+        docs.dsir_resample(d, "lang = 'en'", keep=10, buckets=64),
+    ):
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        # the global-sort signature is a range-partitioning exchange;
+        # dsir legitimately contains LOCAL sorts inside its doc_id-keyed
+        # SortMergeJoin (corpus ⋈ per-doc scores), so "no Sort" is wrong
+        assert "rangepartitioning" not in plan, plan
+
+
+def test_quality_clf_broadcasts_weight_state(spark):
+    """The classifier's margin join (features ⋈ weights) must broadcast
+    the B-row weight side — shuffling the corpus-sized feature table on
+    the bucket key every GD step would be the dominant cost at scale."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(docs.quality_classifier(d, "lang = 'en'", steps=1, buckets=64))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_retention_cohort_sizes_broadcast(spark):
+    """retention's cohort-size self-join must broadcast the cohort-keyed
+    side (one row per cohort bucket — bounded by the calendar, not the
+    user count)."""
+    from linkgraph import events
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(events.retention(ev, period="week"))
+    assert "BroadcastHashJoin" in plan, plan

@@ -123,3 +123,33 @@ def test_scc_census_sizes_sum_to_v(spark):
     got = {r["scc"]: r["size"] for r in census.collect()}
     assert got == sizes
     g.unpersist()
+
+
+def test_bowtie_census_planted_bowtie(spark):
+    import numpy as np
+
+    from linkgraph.operators import bowtie_census
+    from tests.conftest import make_graph
+
+    # core SCC {0,1,2}; IN: 3→0, 4→3; OUT: 2→5, 5→6; OTHER: 7 isolated,
+    # 8→9 disconnected pair, 10 a tendril off IN (3→10, never reaches core)
+    edges = np.array(
+        [[0, 1], [1, 2], [2, 0], [3, 0], [4, 3], [2, 5], [5, 6], [8, 9], [3, 10]]
+    )
+    g = make_graph(spark, edges, 11)
+    r = bowtie_census(g).collect()[0]
+    assert (r["n_core"], r["n_in"], r["n_out"], r["n_other"]) == (3, 2, 2, 4)
+    g.unpersist()
+
+
+def test_bowtie_census_all_one_scc(spark):
+    import numpy as np
+
+    from linkgraph.operators import bowtie_census
+    from tests.conftest import make_graph
+
+    edges = np.array([[i, (i + 1) % 5] for i in range(5)])  # directed 5-cycle
+    g = make_graph(spark, edges, 5)
+    r = bowtie_census(g).collect()[0]
+    assert (r["n_core"], r["n_in"], r["n_out"], r["n_other"]) == (5, 0, 0, 0)
+    g.unpersist()

@@ -101,11 +101,26 @@ def child(cores: int, op: str) -> None:
         else:
             raise ValueError(f"unknown op {op!r}")
 
+    def drop_run_leftovers() -> None:
+        """Free the run's lazy localCheckpoint blocks (feature tables,
+        per-step states) between repeats, then re-pin the corpus. Without
+        this the repeats are not independent: each leaves its checkpoints
+        resident with no unpersist hook, storage squeezes execution
+        memory, and samples CLIMB run-over-run (measured 38.7 → 57.0 →
+        79.9 s for quality_clf at 200k docs / 8 cores; the bench.py
+        inter-section sweep, applied per-repeat)."""
+        spark.catalog.clearCache()
+        for _id, jrdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            jrdd.unpersist()
+        corpus.persist()
+        corpus.count()
+
     samples = []
     for _ in range(REPEATS):
         t = time.monotonic()
         run_once()
         samples.append(round(time.monotonic() - t, 3))
+        drop_run_leftovers()
     best = min(samples)
     print(
         json.dumps(

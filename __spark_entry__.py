@@ -538,6 +538,15 @@ def _q_bowtie(spark, sf_dir):
     return bowtie_census(_graph(spark, sf_dir))
 
 
+def _q_louvain(spark, sf_dir):
+    """Deterministic synchronous Louvain local-move community detection
+    (round 5) — parity-gated moves, all-integer modularity-gain scores;
+    the modularity-OPTIMIZING counterpart to labelprop5."""
+    from linkgraph.operators import louvain_move
+
+    return louvain_move(_graph(spark, sf_dir), rounds=4)
+
+
 def _q_bpe_counts(spark, sf_dir):
     """Per-doc token counts under the just-trained 8-rule BPE vocab
     (round 5) — tail variant; shares the in-window bpe machinery."""
@@ -807,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_sample's md5-threshold machinery) — those stay correct via
         # tools/gatecheck.py, which runs ALL keys; the judge's r04
         # gatecheck run did the same.
+        "louvain": _q_louvain,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -921,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_counts": osql.bpe_counts_sql(merges=8),
         "bowtie": osql.bowtie_sql(),
+        "louvain": osql.louvain_sql(rounds=4),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),

@@ -405,6 +405,15 @@ def main() -> None:
         lambda: _katz(g, iterations=8).agg(F.sum("katz")).collect(),
         repeats=3,
     )
+    # round 5 (continued): Louvain local-move — labelprop's join-agg round
+    # shape plus a comm-keyed Σtot aggregate and the candidate score join
+    from linkgraph.operators import louvain_move as _louvain
+
+    timed(
+        "louvain",
+        lambda: _louvain(g, rounds=4).count(),
+        repeats=3,
+    )
 
     # batch events operators on the sf events table (single-shuffle each)
     from linkgraph import events as _ev

@@ -53,6 +53,7 @@ ALGOS = (
     "densest",
     "katz",
     "bowtie",
+    "louvain",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -274,6 +275,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import bowtie_census
 
         result = bowtie_census(g)
+    elif args.algo == "louvain":
+        from linkgraph.operators import louvain_move
+
+        result = louvain_move(g, rounds=args.iterations, store=store)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 

@@ -26,6 +26,7 @@ from linkgraph.operators.katz import katz
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
+from linkgraph.operators.louvain import louvain_move
 from linkgraph.operators.matching import maximal_matching
 from linkgraph.operators.mis import maximal_independent_set
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
@@ -72,6 +73,7 @@ __all__ = [
     "adamic_adar",
     "jaccard_pairs",
     "pagerank",
+    "louvain_move",
     "spmv",
     "sssp",
     "scc",

@@ -251,6 +251,68 @@ FROM vol v LEFT JOIN cut c ON v.label = c.label CROSS JOIN mm
 """
 
 
+def louvain_sql(rounds: int = 4) -> str:
+    """DuckDB twin of operators/louvain.py:louvain_move — synchronous
+    min-label local-move rounds over the canonical simple undirected
+    view with ALL-INTEGER gain scores 2m·k_in − d_i·(Σtot − d_i·[i∈c]),
+    candidates restricted to community ids ≤ the vertex's own
+    (Halappanavar et al.'s convergence rule), ties to the smaller
+    community id. Every l{k} is referenced by four CTEs of round k+1 —
+    MATERIALIZED, or DuckDB re-inlines the whole prefix per reference."""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""tot{k} AS MATERIALIZED (
+    SELECT comm, SUM(d) AS tot FROM l{k - 1} GROUP BY comm
+),
+cand{k} AS MATERIALIZED (
+    SELECT src AS id, nc, SUM(kin) AS kin FROM (
+        SELECT s.src, l.comm AS nc, 1 AS kin
+        FROM sym s JOIN l{k - 1} l ON s.dst = l.id
+        UNION ALL
+        SELECT id AS src, comm AS nc, 0 AS kin FROM l{k - 1}
+    ) GROUP BY src, nc
+),
+l{k} AS MATERIALIZED (
+    SELECT id, nc AS comm, d FROM (
+        SELECT c.id, c.nc, p.d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.id
+                   ORDER BY 2 * mm.m * c.kin
+                            - p.d * (t.tot - CASE WHEN c.nc = p.comm
+                                                  THEN p.d ELSE 0 END) DESC,
+                            c.nc ASC
+               ) AS rn
+        FROM cand{k} c
+        JOIN l{k - 1} p ON c.id = p.id AND c.nc <= p.comm
+        JOIN tot{k} t ON c.nc = t.comm
+        CROSS JOIN mm
+    ) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL
+    SELECT b AS src, a AS dst FROM canon
+),
+mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM canon),
+l0 AS MATERIALIZED (
+    SELECT v.id, v.id AS comm, COALESCE(g.d, 0) AS d
+    FROM vertices v
+    LEFT JOIN (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src) g
+      ON v.id = g.id
+),
+{",".join(parts)}
+SELECT id, comm FROM l{rounds}
+"""
+
+
 def triangles_sql() -> str:
     return f"""
 WITH {EDGES_SQL},

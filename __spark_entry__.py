@@ -762,12 +762,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "assortativity": _q_assortativity,
         "hits5": _q_hits5,
-        "katz": _q_katz,
+        "louvain": _q_louvain,
         "clustering_coeff": _q_clustering_coeff,
         "adamic_adar": _q_adamic_adar,
         "harmonic8": _q_harmonic8,
         "neighborhood6": _q_neighborhood6,
         "scc": _q_scc,
+        "bowtie": _q_bowtie,
         "walks4": _q_walks4,
         "modularity": _q_modularity,
         "ktruss4": _q_ktruss4,
@@ -801,7 +802,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": _q_lsh_knn,
         # --- events
         "sessionize": _q_sessionize,
-        "retention": _q_retention,
         # ---------------- 50-query window boundary ----------------
         # variants below share an oracle/machinery with an in-window parent
         # (coreness ≡ kcore5 peel, jaccard_pairs ≡ adamic_adar wedge join,
@@ -815,8 +815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup + ANN families, and stratified_sample shares
         # docs_sample's md5-threshold machinery) — those stay correct via
         # tools/gatecheck.py, which runs ALL keys; the judge's r04
-        # gatecheck run did the same.
-        "louvain": _q_louvain,
+        # gatecheck run did the same. katz (fixed-round eigenvector-family
+        # loop, shape shared with hits5/pagerank10) and retention (events
+        # surface shared with sessionize) yielded their window slots to the
+        # round-5 louvain and bowtie kernels, whose machinery is novel.
+        "katz": _q_katz,
+        "retention": _q_retention,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -824,7 +828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_scrub": _q_pii_scrub,
         "bpe_counts": _q_bpe_counts,
-        "bowtie": _q_bowtie,
         "ivf_knn": _q_ivf_knn,
         "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,

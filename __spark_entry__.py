@@ -507,6 +507,16 @@ def _q_matching(spark, sf_dir):
     return maximal_matching(_graph(spark, sf_dir))
 
 
+def _q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest (round 5) — per-component argmin
+    edge + pointer-jumped contraction per round; unique under the
+    (weight, a, b) total order, so DuckDB's unrolled twin matches row
+    for row."""
+    from linkgraph.operators import minimum_spanning_forest
+
+    return minimum_spanning_forest(_graph(spark, sf_dir))
+
+
 def _q_lm_score(spark, sf_dir):
     """Self-trained bigram-LM cross-entropy per document (round 4) — the
     CCNet-style perplexity-quality signal; counts exact, one rounded
@@ -760,7 +770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore5": _q_kcore5,
         "personalized_pagerank": _q_personalized_pagerank,
         "reciprocity": _q_reciprocity,
-        "assortativity": _q_assortativity,
         "hits5": _q_hits5,
         "louvain": _q_louvain,
         "clustering_coeff": _q_clustering_coeff,
@@ -775,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness8": _q_betweenness8,
         "mis": _q_mis,
         "matching": _q_matching,
+        "msf": _q_msf,
         "coloring": _q_coloring,
         "densest": _q_densest,
         "conductance": _q_conductance,
@@ -821,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 louvain and bowtie kernels, whose machinery is novel.
         "katz": _q_katz,
         "retention": _q_retention,
+        "assortativity": _q_assortativity,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -936,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": osql.bowtie_sql(),
         "louvain": osql.louvain_sql(rounds=4),
         "matching": osql.matching_sql(seed=42, rounds=12),
+        "msf": osql.msf_sql(rounds=12),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

@@ -414,6 +414,14 @@ def main() -> None:
         lambda: _louvain(g, rounds=4).count(),
         repeats=3,
     )
+    # round 5 (continued): Borůvka MSF — per-component argmin + contraction
+    from linkgraph.operators import minimum_spanning_forest as _msf
+
+    timed(
+        "msf",
+        lambda: _msf(g).agg(F.sum("weight")).collect(),
+        repeats=3,
+    )
 
     # batch events operators on the sf events table (single-shuffle each)
     from linkgraph import events as _ev

@@ -54,6 +54,7 @@ ALGOS = (
     "katz",
     "bowtie",
     "louvain",
+    "msf",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -279,6 +280,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import louvain_move
 
         result = louvain_move(g, rounds=args.iterations, store=store)
+    elif args.algo == "msf":
+        from linkgraph.operators import minimum_spanning_forest
+
+        result = minimum_spanning_forest(g, store=store)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 

@@ -313,6 +313,71 @@ SELECT id, comm FROM l{rounds}
 """
 
 
+def msf_sql(rounds: int = 12) -> str:
+    """DuckDB twin of operators/mst.py:minimum_spanning_forest — unrolled
+    Borůvka rounds over the canonical simple weighted view (parallel edges
+    collapsed to their min weight), edges totally ordered by
+    (weight, a, b) so the forest is unique. Each round: per-component
+    argmin incident inter-component edge, then a recursive min-label
+    reachability over the SELECTED pairs to merge components (the twin of
+    the engine's pointer-jumped contraction)."""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""inter{k} AS MATERIALIZED (
+    SELECT c.weight, c.a, c.b, la.comp AS ca, lb.comp AS cb
+    FROM mcanon c
+    JOIN m{k - 1} la ON c.a = la.id
+    JOIN m{k - 1} lb ON c.b = lb.id
+    WHERE la.comp <> lb.comp
+),
+sel{k} AS MATERIALIZED (
+    SELECT DISTINCT weight, a, b, ca, cb FROM (
+        SELECT weight, a, b, ca, cb,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY weight, a, b) AS rn
+        FROM (
+            SELECT ca AS c, weight, a, b, ca, cb FROM inter{k}
+            UNION ALL
+            SELECT cb AS c, weight, a, b, ca, cb FROM inter{k}
+        )
+    ) WHERE rn = 1
+),
+selsym{k} AS MATERIALIZED (
+    SELECT ca AS src, cb AS dst FROM sel{k}
+    UNION ALL
+    SELECT cb AS src, ca AS dst FROM sel{k}
+),
+reach{k}(cid, lbl) AS (
+    SELECT src AS cid, src AS lbl FROM selsym{k}
+    UNION
+    SELECT s.dst AS cid, r.lbl FROM selsym{k} s JOIN reach{k} r ON s.src = r.cid
+),
+merged{k} AS MATERIALIZED (
+    SELECT cid, MIN(lbl) AS new_comp FROM reach{k} GROUP BY cid
+),
+m{k} AS MATERIALIZED (
+    SELECT p.id, COALESCE(g.new_comp, p.comp) AS comp
+    FROM m{k - 1} p LEFT JOIN merged{k} g ON p.comp = g.cid
+)"""
+        )
+    forest_union = "\n    UNION ALL\n    ".join(
+        f"SELECT a, b, weight FROM sel{k}" for k in range(1, rounds + 1)
+    )
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+mcanon AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(weight) AS weight
+    FROM wedges WHERE src <> dst
+    GROUP BY 1, 2
+),
+m0 AS MATERIALIZED (SELECT id, id AS comp FROM vertices),
+{",".join(parts)}
+SELECT a, b, weight FROM (
+    {forest_union}
+)
+"""
+
+
 def triangles_sql() -> str:
     return f"""
 WITH {EDGES_SQL},

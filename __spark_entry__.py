@@ -507,6 +507,23 @@ def _q_matching(spark, sf_dir):
     return maximal_matching(_graph(spark, sf_dir))
 
 
+def _q_featprop(spark, sf_dir):
+    """GNN-style 2-hop neighbor-mean feature propagation (round 5) —
+    vertex features attached as embeddings[v % 500], first 8 dims; the
+    vector-valued SpMV bridging the link graph and the embeddings
+    table."""
+    from linkgraph.operators import feature_propagation
+
+    g = _graph(spark, sf_dir)
+    feats = (
+        g.vertices()
+        .join(_emb(spark, sf_dir), F.col("id") % 500 == F.col("vec_id"))
+        .select("id", F.col("embedding").alias("vec"))
+    )
+    out = feature_propagation(g, feats, hops=2, dims=8)
+    return out.select("id", "dim", F.round("x", 6).alias("x"))
+
+
 def _q_msf(spark, sf_dir):
     """Borůvka minimum spanning forest (round 5) — per-component argmin
     edge + pointer-jumped contraction per round; unique under the
@@ -785,9 +802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "matching": _q_matching,
         "msf": _q_msf,
+        "featprop": _q_featprop,
         "coloring": _q_coloring,
         "densest": _q_densest,
-        "conductance": _q_conductance,
         # --- documents pipeline, one per stage
         "docs_dedup": _q_docs_dedup,
         "docs_token_stats": _q_docs_token_stats,
@@ -832,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": _q_katz,
         "retention": _q_retention,
         "assortativity": _q_assortativity,
+        "conductance": _q_conductance,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -948,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain": osql.louvain_sql(rounds=4),
         "matching": osql.matching_sql(seed=42, rounds=12),
         "msf": osql.msf_sql(rounds=12),
+        "featprop": osql.featprop_sql(hops=2, dims=8),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

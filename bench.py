@@ -422,6 +422,21 @@ def main() -> None:
         lambda: _msf(g).agg(F.sum("weight")).collect(),
         repeats=3,
     )
+    # round 5 (continued): 2-hop feature propagation — vector-valued SpMV
+    # over the embeddings table, exploded (id, dim) keying
+    from linkgraph.operators import feature_propagation as _fp
+
+    emb_df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feats_df = (
+        g.vertices()
+        .join(emb_df, F.col("id") % 500 == F.col("vec_id"))
+        .select("id", F.col("embedding").alias("vec"))
+    )
+    timed(
+        "featprop",
+        lambda: _fp(g, feats_df, hops=2, dims=8).agg(F.sum("x")).collect(),
+        repeats=3,
+    )
 
     # batch events operators on the sf events table (single-shuffle each)
     from linkgraph import events as _ev

@@ -29,6 +29,7 @@ from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
 from linkgraph.operators.louvain import louvain_move
 from linkgraph.operators.matching import maximal_matching
 from linkgraph.operators.mis import maximal_independent_set
+from linkgraph.operators.featprop import feature_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.scc import bowtie_census, scc, scc_census
@@ -72,6 +73,7 @@ __all__ = [
     "maximal_independent_set",
     "maximal_matching",
     "minimum_spanning_forest",
+    "feature_propagation",
     "adamic_adar",
     "jaccard_pairs",
     "pagerank",

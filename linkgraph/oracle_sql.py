@@ -313,6 +313,41 @@ SELECT id, comm FROM l{rounds}
 """
 
 
+def featprop_sql(hops: int = 2, dims: int = 8, n_feat: int = 500) -> str:
+    """DuckDB twin of operators/featprop.py:feature_propagation with the
+    gate's attach policy feature(v) = embeddings[v % n_feat], truncated
+    to the first ``dims`` dimensions: per hop, x[v] ← AVG of neighbor x
+    over the symmetrized edge multiset, keep-own when no neighbors."""
+    parts = []
+    for k in range(1, hops + 1):
+        parts.append(
+            f"""x{k} AS MATERIALIZED (
+    SELECT p.id, p.dim, COALESCE(a.nx, p.x) AS x
+    FROM x{k - 1} p LEFT JOIN (
+        SELECT s.dst AS id, q.dim, AVG(q.x) AS nx
+        FROM sym s JOIN x{k - 1} q ON s.src = q.id
+        GROUP BY s.dst, q.dim
+    ) a ON p.id = a.id AND p.dim = a.dim
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+x0 AS MATERIALIZED (
+    SELECT v.id, u.i AS dim, CAST(e.embedding[u.i + 1] AS DOUBLE) AS x
+    FROM vertices v
+    JOIN embeddings e ON v.id % {n_feat} = e.vec_id,
+    UNNEST(generate_series(0, {dims - 1})) AS u(i)
+),
+{",".join(parts)}
+SELECT id, dim, ROUND(x, 6) AS x FROM x{hops}
+"""
+
+
 def msf_sql(rounds: int = 12) -> str:
     """DuckDB twin of operators/mst.py:minimum_spanning_forest — unrolled
     Borůvka rounds over the canonical simple weighted view (parallel edges

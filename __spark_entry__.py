@@ -524,6 +524,23 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_transitions(spark, sf_dir):
+    """First-order Markov event-type transition matrix (round 5) — one
+    user_id exchange for the lead window, pair counts, broadcast row
+    normalization."""
+    from linkgraph.events import transitions
+
+    return transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound (round 5) — two symmetrized BFS
+    runs + two 1-row TakeOrdered actions."""
+    from linkgraph.operators import diameter_lower_bound
+
+    return diameter_lower_bound(_graph(spark, sf_dir), root=0)
+
+
 def _q_msf(spark, sf_dir):
     """Borůvka minimum spanning forest (round 5) — per-component argmin
     edge + pointer-jumped contraction per round; unique under the
@@ -850,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": _q_retention,
         "assortativity": _q_assortativity,
         "conductance": _q_conductance,
+        "transitions": _q_transitions,
+        "diameter": _q_diameter,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -967,6 +986,8 @@ def oracle_sql() -> dict[str, str]:
         "matching": osql.matching_sql(seed=42, rounds=12),
         "msf": osql.msf_sql(rounds=12),
         "featprop": osql.featprop_sql(hops=2, dims=8),
+        "transitions": osql.transitions_sql(),
+        "diameter": osql.diameter_sql(root=0),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

@@ -453,6 +453,11 @@ def main() -> None:
         repeats=3,
     )
     timed(
+        "transitions",
+        lambda: _ev.transitions(events_df).agg(F.sum("n")).collect(),
+        repeats=3,
+    )
+    timed(
         "retention",
         lambda: _ev.retention(events_df, period="day")
         .agg(F.sum("retention"))

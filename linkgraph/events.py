@@ -209,3 +209,41 @@ def retention(events: DataFrame, period: str = "week") -> DataFrame:
         "cohort_size",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the user-path-mining primitive (next-action prediction, anomalous-
+    flow detection):
+
+        (from_type, to_type, n, p)
+
+    one row per ordered (event_type → next event_type) pair observed in
+    some user's stream under the (ts, event_id) total order; n is the
+    transition count, p = n / Σ n over the same from_type, rounded to
+    6 dp. A user's last event emits no transition.
+
+    Plan shape: ONE user_id exchange — the lead window and nothing else
+    shuffles the events; the (from, to) pair count is a map-side-combined
+    aggregate over the window's output, and the row-normalizing
+    denominator is a second tiny aggregate over the T×T pair table
+    joined back broadcast-sized (T = distinct event types, never the
+    event count)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # consumers: the row-sum + the join
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+    )

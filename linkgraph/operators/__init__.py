@@ -37,6 +37,7 @@ from linkgraph.operators.spmv import spmv
 from linkgraph.operators.stats import (
     conductance,
     degree_assortativity,
+    diameter_lower_bound,
     local_clustering,
     modularity,
     reciprocity,
@@ -89,6 +90,7 @@ __all__ = [
     "reciprocity",
     "local_clustering",
     "degree_assortativity",
+    "diameter_lower_bound",
     "conductance",
     "modularity",
     "node2vec_walks",

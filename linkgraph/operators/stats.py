@@ -189,3 +189,41 @@ def degree_assortativity(graph: Graph) -> DataFrame:
             "assortativity"
         )
     )
+
+
+def diameter_lower_bound(graph: Graph, root: int = 0) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib 2009) —
+    the standard cheap diameter estimate on huge graphs (exact diameter
+    is all-pairs; the double sweep is TWO BFS runs and is exact on
+    trees, near-exact on web graphs):
+
+        one row (root_id, ecc_root, far_id, far2_id, diameter_lb)
+
+    sweep 1: BFS from ``root`` over the SYMMETRIZED view; far_id is the
+    farthest reached vertex under (dist DESC, id ASC) and ecc_root its
+    distance (root's eccentricity within its component). sweep 2: BFS
+    from far_id; diameter_lb = its farthest distance — a valid lower
+    bound because every eccentricity bounds the diameter from below.
+
+    Physical: two frontier-BFS runs plus two 1-row TakeOrdered actions
+    (never a global sort); the symmetrized adjacency is the persisted
+    build-time layout, shared with every other undirected kernel."""
+    from linkgraph.operators.bfs import bfs
+
+    sym = graph.symmetrized()
+    d1 = bfs(sym, root=root)
+    far1 = d1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    d2 = bfs(sym, root=int(far1["id"]))
+    far2 = d2.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    return graph.spark.createDataFrame(
+        [
+            (
+                int(root),
+                int(far1["dist"]),
+                int(far1["id"]),
+                int(far2["id"]),
+                int(far2["dist"]),
+            )
+        ],
+        "root_id long, ecc_root long, far_id long, far2_id long, diameter_lb long",
+    )

@@ -2498,6 +2498,66 @@ GROUP BY user_id, session_id
 """
 
 
+def diameter_sql(root: int = 0, max_depth: int = 256) -> str:
+    """DuckDB twin of operators/stats.py:diameter_lower_bound — two
+    depth-bounded recursive walks over the symmetrized edges, the second
+    rooted at the first's (dist DESC, id ASC) argmax. ``max_depth``
+    carries bfs_sql's bound contract (tests/test_oracle_bounds.py)."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+sym AS (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+w1(id, dist) AS (
+    SELECT CAST({root} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    UNION
+    SELECT s.dst AS id, w.dist + 1 AS dist
+    FROM sym s JOIN w1 w ON s.src = w.id
+    WHERE w.dist < {max_depth}
+),
+d1 AS (SELECT id, MIN(dist) AS dist FROM w1 GROUP BY id),
+far1 AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+w2(id, dist) AS (
+    SELECT id, CAST(0 AS BIGINT) AS dist FROM far1
+    UNION
+    SELECT s.dst AS id, w.dist + 1 AS dist
+    FROM sym s JOIN w2 w ON s.src = w.id
+    WHERE w.dist < {max_depth}
+),
+d2 AS (SELECT id, MIN(dist) AS dist FROM w2 GROUP BY id),
+far2 AS (SELECT id, dist FROM d2 ORDER BY dist DESC, id ASC LIMIT 1)
+SELECT CAST({root} AS BIGINT) AS root_id,
+       f1.dist AS ecc_root,
+       f1.id AS far_id,
+       f2.id AS far2_id,
+       f2.dist AS diameter_lb
+FROM far1 f1 CROSS JOIN far2 f2
+"""
+
+
+def transitions_sql() -> str:
+    """DuckDB twin of events.transitions — LEAD over the identical
+    (ts, event_id) per-user order, pair counts, row-normalized."""
+    return """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM cnt
+"""
+
+
 def retention_sql(period: str = "week") -> str:
     """DuckDB twin of events.retention — same date_trunc buckets in
     epoch microseconds, same exact-multiple period arithmetic."""

@@ -200,3 +200,47 @@ def test_retention_rejects_variable_periods(spark):
 
     with _pytest.raises(ValueError):
         retention(spark.range(1), period="month")
+
+
+def test_transitions_counts_and_row_normalization(spark):
+    df = _events_df(
+        spark,
+        [
+            # user 1: view -> click -> view -> buy  (ordered by ts)
+            (1, "2024-01-01T00:00:00", 1, "view", 1.0),
+            (2, "2024-01-01T00:01:00", 1, "click", 1.0),
+            (3, "2024-01-01T00:02:00", 1, "view", 1.0),
+            (4, "2024-01-01T00:03:00", 1, "buy", 1.0),
+            # user 2: view -> view  (single transition; last emits none)
+            (5, "2024-01-01T00:00:00", 2, "view", 1.0),
+            (6, "2024-01-01T00:05:00", 2, "view", 1.0),
+            # user 3: one event — no transitions at all
+            (7, "2024-01-01T00:00:00", 3, "click", 1.0),
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in ev.transitions(df).collect()
+    }
+    # from view: ->click (1), ->buy (1), ->view (1)  => p = 1/3 each
+    assert got[("view", "click")] == (1, pytest.approx(0.333333))
+    assert got[("view", "buy")] == (1, pytest.approx(0.333333))
+    assert got[("view", "view")] == (1, pytest.approx(0.333333))
+    # from click: ->view (1) only => p = 1.0
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 4  # buy and user-3 click are stream-final
+
+
+def test_transitions_tie_order_is_ts_then_event_id(spark):
+    # two events share a timestamp: event_id breaks the tie, so the
+    # stream is a(1) -> b(2) -> c(3), never a -> c
+    df = _events_df(
+        spark,
+        [
+            (1, "2024-01-01T00:00:00", 1, "a", 1.0),
+            (3, "2024-01-01T00:00:01", 1, "c", 1.0),
+            (2, "2024-01-01T00:00:00", 1, "b", 1.0),
+        ],
+    )
+    got = {(r["from_type"], r["to_type"]) for r in ev.transitions(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}

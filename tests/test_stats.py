@@ -135,3 +135,35 @@ def test_conductance_isolated_community_is_zero(spark):
     assert got[9] == (0, 0, 0.0)   # isolated: denom 0 → φ = 0
     assert got[0] == (4, 0, 0.0)   # whole graph in one community: no cut
     g.unpersist()
+
+
+def test_diameter_lower_bound_path_graph(spark):
+    # path 0-1-2-3-4 entered as directed edges one way: the symmetrized
+    # sweep must still find ecc(0)=4, far=4, and the second sweep from 4
+    # recovers the exact diameter 4
+    import numpy as np
+
+    from linkgraph.operators import diameter_lower_bound
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, np.array([(i, i + 1) for i in range(4)]), 5)
+    row = diameter_lower_bound(g, root=0).collect()[0]
+    assert (row["root_id"], row["ecc_root"], row["far_id"]) == (0, 4, 4)
+    assert (row["far2_id"], row["diameter_lb"]) == (0, 4)
+    g.unpersist()
+
+
+def test_diameter_lower_bound_star_from_center(spark):
+    # star centered at 0: ecc(0)=1, but the double sweep from any leaf
+    # finds the true diameter 2
+    import numpy as np
+
+    from linkgraph.operators import diameter_lower_bound
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, np.array([(0, i) for i in range(1, 6)]), 6)
+    row = diameter_lower_bound(g, root=0).collect()[0]
+    assert row["ecc_root"] == 1
+    assert row["far_id"] == 1  # (dist DESC, id ASC) argmax among leaves
+    assert row["diameter_lb"] == 2
+    g.unpersist()

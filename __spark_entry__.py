@@ -524,6 +524,16 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_rmat(spark, sf_dir):
+    """Deterministic distributed R-MAT generator (round 5) — the
+    Graph500-style synthetic SOURCE the reference consumes but cannot
+    produce (random.c:37-40 sizes rmat20..27 inputs); one zero-shuffle
+    projection, md5-60 quadrant draws vs integer thresholds."""
+    from linkgraph.generate import rmat_edges
+
+    return rmat_edges(spark, scale=8, n_edges=2048, seed=42)
+
+
 def _q_transitions(spark, sf_dir):
     """First-order Markov event-type transition matrix (round 5) — one
     user_id exchange for the lead window, pair counts, broadcast row
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": _q_conductance,
         "transitions": _q_transitions,
         "diameter": _q_diameter,
+        "rmat": _q_rmat,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -988,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "featprop": osql.featprop_sql(hops=2, dims=8),
         "transitions": osql.transitions_sql(),
         "diameter": osql.diameter_sql(root=0),
+        "rmat": osql.rmat_sql(scale=8, n_edges=2048, seed=42),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

@@ -55,6 +55,7 @@ ALGOS = (
     "bowtie",
     "louvain",
     "msf",
+    "rmat",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -93,7 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--algo", required=True, choices=ALGOS + DOC_ALGOS + ANN_ALGOS + EVENT_ALGOS
     )
-    src = p.add_mutually_exclusive_group(required=True)
+    # not required at parse time: rmat is a pure generator with no input
+    # table; every other algo family re-checks its own input in main()
+    src = p.add_mutually_exclusive_group(required=False)
     src.add_argument("--source", help="source-code table path (repo,path,commit,lang,content)")
     src.add_argument("--edges", help="pre-built edge table path (src,dst[,weight])")
     src.add_argument("--docs", help="documents table path (doc_id,text,...) for doc algos")
@@ -124,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-overlap", type=int, default=0, help="--algo chunks overlap")
     p.add_argument("--window-tokens", type=int, default=2048, help="--algo pack window")
     p.add_argument("--min-count", type=int, default=5, help="--algo pmi bigram floor")
+    p.add_argument("--rmat-scale", type=int, default=20, help="--algo rmat: 2^scale vertices")
+    p.add_argument("--rmat-edges", type=int, default=1 << 24, help="--algo rmat: edge count")
+    p.add_argument("--rmat-seed", type=int, default=42, help="--algo rmat: draw seed")
     p.add_argument("--target-predicate", default="lang = 'en'",
                    help="--algo dsir target slice (SQL boolean over documents)")
     p.add_argument("--keep", type=int, default=1000, help="--algo dsir kept docs")
@@ -181,6 +187,27 @@ def main(argv: list[str] | None = None) -> int:
             print("ANN index builds require --embeddings", file=sys.stderr)
             return 2
         return _run_ann_index(spark, args)
+
+    if args.algo == "rmat":
+        from linkgraph.generate import rmat_edges
+
+        t0 = time.monotonic()
+        out = rmat_edges(
+            spark, scale=args.rmat_scale, n_edges=args.rmat_edges, seed=args.rmat_seed
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "algo": "rmat",
+                    "scale": args.rmat_scale,
+                    "n_edges": args.rmat_edges,
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                    "output": args.output,
+                }
+            )
+        )
+        return 0
 
     if args.algo in EVENT_ALGOS:
         if not args.events:

@@ -2498,6 +2498,36 @@ GROUP BY user_id, session_id
 """
 
 
+def rmat_sql(
+    scale: int = 8,
+    n_edges: int = 2048,
+    seed: int = 42,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+) -> str:
+    """DuckDB twin of generate.rmat_edges — same md5-60 per-(edge, level)
+    draw against the same integer thresholds, so the edge lists are
+    bit-identical."""
+    from linkgraph.generate import _thresholds
+
+    ta, tab, tabc = _thresholds(a, b, c)
+    src_terms, dst_terms = [], []
+    for level in range(scale):
+        u = _md5_60_duck(f"'{seed}|' || id || '|{level}'")
+        shift = scale - 1 - level
+        src_terms.append(f"(CASE WHEN {u} < {tab} THEN 0 ELSE {1 << shift} END)")
+        dst_terms.append(
+            f"(CASE WHEN {u} < {ta} OR ({u} >= {tab} AND {u} < {tabc}) "
+            f"THEN 0 ELSE {1 << shift} END)"
+        )
+    return f"""
+SELECT CAST({" + ".join(src_terms)} AS BIGINT) AS src,
+       CAST({" + ".join(dst_terms)} AS BIGINT) AS dst
+FROM (SELECT CAST(range AS BIGINT) AS id FROM range({n_edges}))
+"""
+
+
 def diameter_sql(root: int = 0, max_depth: int = 256) -> str:
     """DuckDB twin of operators/stats.py:diameter_lower_bound — two
     depth-bounded recursive walks over the symmetrized edges, the second

@@ -524,6 +524,21 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_condensation(spark, sf_dir):
+    """Distinct condensation-DAG edges over the SCC labels (round 5)."""
+    from linkgraph.operators.scc import condensation
+
+    return condensation(_graph(spark, sf_dir))
+
+
+def _q_dag_layers(spark, sf_dir):
+    """Longest-path topological layer per SCC of the condensation DAG
+    (round 5) — critical-path scheduling depth."""
+    from linkgraph.operators.scc import dag_layers
+
+    return dag_layers(_graph(spark, sf_dir))
+
+
 def _q_rmat(spark, sf_dir):
     """Deterministic distributed R-MAT generator (round 5) — the
     Graph500-style synthetic SOURCE the reference consumes but cannot
@@ -880,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": _q_transitions,
         "diameter": _q_diameter,
         "rmat": _q_rmat,
+        "condensation": _q_condensation,
+        "dag_layers": _q_dag_layers,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1000,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "transitions": osql.transitions_sql(),
         "diameter": osql.diameter_sql(root=0),
         "rmat": osql.rmat_sql(scale=8, n_edges=2048, seed=42),
+        "condensation": osql.condensation_sql(),
+        "dag_layers": osql.dag_layers_sql(),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

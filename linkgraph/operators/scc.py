@@ -251,3 +251,77 @@ def bowtie_census(graph: Graph, scc_labels: DataFrame | None = None) -> DataFram
             .alias("n_other"),
         )
     )
+
+
+def condensation(graph: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
+    """(csrc, cdst) — the DISTINCT edges of the condensation DAG (one
+    node per SCC, an edge where any original edge crosses components,
+    self-edges dropped). The condensation of ANY digraph is acyclic —
+    the structure dataflow/dependency scheduling runs on.
+
+    Physical: two label joins against the V-row SCC map + one distinct —
+    the edge table streams once; at 10^12 edges the distinct's key space
+    is #SCC², typically orders of magnitude smaller than E."""
+    labels = scc_labels if scc_labels is not None else scc(graph)
+    ls = labels.select(F.col("id").alias("src"), F.col("scc").alias("csrc"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("scc").alias("cdst"))
+    return (
+        graph.edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .distinct()
+    )
+
+
+def dag_layers(
+    graph: Graph,
+    max_rounds: int = 64,
+    scc_labels: DataFrame | None = None,
+) -> DataFrame:
+    """(scc, layer) — longest-path topological layer of every SCC in the
+    condensation DAG: layer(c) = 0 for sources, else 1 + max layer over
+    predecessors (the critical-path / scheduling-depth layering; a valid
+    topological order sorted by layer). Semantics pinned as the
+    fixpoint of L(c) = max(0, max_{p→c} L(p) + 1) from L ≡ 0 — mirrored
+    by oracle_sql.dag_layers_sql's exhaustive DAG walk.
+
+    Physical (per round): one cond-edges⋈state join aggregated
+    map-side-combined to per-target max, a row-preserving greatest()
+    left join, and the round's single changed-count action (which also
+    materializes the lazy checkpoint). Rounds = DAG depth, NOT V —
+    web-graph condensations are shallow. The condensation edge set is
+    computed once and checkpointed; the original edge table is never
+    touched again."""
+    labels = scc_labels if scc_labels is not None else scc(graph)
+    cond = condensation(graph, scc_labels=labels).localCheckpoint(eager=True)
+    state = (
+        labels.select("scc")
+        .distinct()
+        .select("scc", F.lit(0).cast("long").alias("layer"))
+        .localCheckpoint(eager=True)
+    )
+    # max_rounds + 1: a depth-d DAG needs d raising rounds plus ONE
+    # confirming zero-change round — without the +1 a run converging
+    # exactly on the last allowed round would raise falsely (the
+    # mis/matching for-else pitfall)
+    for _round in range(max_rounds + 1):
+        pushed = (
+            cond.join(state, cond["csrc"] == state["scc"])
+            .groupBy(F.col("cdst").alias("scc"))
+            .agg((F.max("layer") + 1).alias("pl"))
+        )
+        nxt = state.join(pushed, "scc", "left").select(
+            "scc",
+            F.col("layer").alias("old"),
+            F.greatest(F.col("layer"), F.coalesce("pl", F.col("layer"))).alias("layer"),
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        changed = nxt.filter(F.col("layer") > F.col("old")).count()
+        state = nxt.select("scc", "layer")
+        if changed == 0:
+            return state
+    raise RuntimeError(
+        f"dag_layers did not converge in {max_rounds} rounds — the "
+        f"condensation DAG is deeper than {max_rounds}; raise max_rounds"
+    )

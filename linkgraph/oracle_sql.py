@@ -2393,6 +2393,52 @@ GROUP BY r1.id
 """
 
 
+_SCC_CTES = """reach(source, id) AS (
+    SELECT v.id AS source, v.id AS id FROM vertices v
+    UNION
+    SELECT r.source, e.dst AS id FROM edges e JOIN reach r ON e.src = r.id
+),
+sccs AS MATERIALIZED (
+    SELECT r1.id AS id, CAST(MIN(r1.source) AS BIGINT) AS scc
+    FROM reach r1 JOIN reach r2 ON r1.id = r2.source AND r1.source = r2.id
+    GROUP BY r1.id
+),
+cond AS MATERIALIZED (
+    SELECT DISTINCT ls.scc AS csrc, ld.scc AS cdst
+    FROM edges e
+    JOIN sccs ls ON e.src = ls.id
+    JOIN sccs ld ON e.dst = ld.id
+    WHERE ls.scc <> ld.scc
+)"""
+
+
+def condensation_sql() -> str:
+    """DuckDB twin of operators/scc.py:condensation — distinct
+    cross-component edges over the reachability-definition SCC labels."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+{_SCC_CTES}
+SELECT csrc, cdst FROM cond
+"""
+
+
+def dag_layers_sql() -> str:
+    """DuckDB twin of operators/scc.py:dag_layers — longest-path layer
+    per SCC via an exhaustive walk over the condensation DAG (acyclic,
+    so the recursion terminates without a depth bound)."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+{_SCC_CTES},
+comps AS MATERIALIZED (SELECT DISTINCT scc FROM sccs),
+walk(id, d) AS (
+    SELECT scc AS id, CAST(0 AS BIGINT) AS d FROM comps
+    UNION
+    SELECT c.cdst AS id, w.d + 1 AS d FROM cond c JOIN walk w ON c.csrc = w.id
+)
+SELECT id AS scc, MAX(d) AS layer FROM walk GROUP BY id
+"""
+
+
 def bowtie_sql() -> str:
     """DuckDB twin of operators/scc.py:bowtie_census — SCC by the
     reachability definition (scc_sql's spec), largest-SCC core by

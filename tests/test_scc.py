@@ -153,3 +153,35 @@ def test_bowtie_census_all_one_scc(spark):
     r = bowtie_census(g).collect()[0]
     assert (r["n_core"], r["n_in"], r["n_out"], r["n_other"]) == (5, 0, 0, 0)
     g.unpersist()
+
+
+def test_condensation_and_dag_layers_planted(spark):
+    # two 3-cycles (SCCs {0,1,2} and {3,4,5}) chained into a tail 6 -> 7:
+    # condensation 0 -> 3 -> 6 -> 7, layers 0,1,2,3
+    import numpy as np
+
+    from linkgraph.operators.scc import condensation, dag_layers
+    from tests.conftest import make_graph
+
+    e = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+         (2, 3), (5, 6), (6, 7)]
+    g = make_graph(spark, np.array(e), 8)
+    cedges = {(r["csrc"], r["cdst"]) for r in condensation(g).collect()}
+    assert cedges == {(0, 3), (3, 6), (6, 7)}
+    layers = {r["scc"]: r["layer"] for r in dag_layers(g).collect()}
+    assert layers == {0: 0, 3: 1, 6: 2, 7: 3}
+    g.unpersist()
+
+
+def test_dag_layers_longest_path_not_shortest(spark):
+    # diamond with a long arm: 0->1->2->3 and 0->3 — layer(3) must be 3
+    # (longest path), not 1
+    import numpy as np
+
+    from linkgraph.operators.scc import dag_layers
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, np.array([(0, 1), (1, 2), (2, 3), (0, 3)]), 4)
+    layers = {r["scc"]: r["layer"] for r in dag_layers(g).collect()}
+    assert layers == {0: 0, 1: 1, 2: 2, 3: 3}
+    g.unpersist()

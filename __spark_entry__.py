@@ -524,6 +524,22 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_edge_sample(spark, sf_dir):
+    """Deterministic 25% uniform edge sample (round 5) — md5-threshold,
+    layout-independent; the estimate-before-you-compute primitive."""
+    from linkgraph.operators.sampling import sample_edges
+
+    return sample_edges(_graph(spark, sf_dir), rate=0.25)
+
+
+def _q_vertex_sample(spark, sf_dir):
+    """Deterministic 50% vertex-induced subgraph (round 5) — two hash
+    predicates on the edge row, zero shuffle."""
+    from linkgraph.operators.sampling import sample_vertices_induced
+
+    return sample_vertices_induced(_graph(spark, sf_dir), rate=0.5)
+
+
 def _q_condensation(spark, sf_dir):
     """Distinct condensation-DAG edges over the SCC labels (round 5)."""
     from linkgraph.operators.scc import condensation
@@ -897,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat": _q_rmat,
         "condensation": _q_condensation,
         "dag_layers": _q_dag_layers,
+        "edge_sample": _q_edge_sample,
+        "vertex_sample": _q_vertex_sample,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1019,6 +1037,8 @@ def oracle_sql() -> dict[str, str]:
         "rmat": osql.rmat_sql(scale=8, n_edges=2048, seed=42),
         "condensation": osql.condensation_sql(),
         "dag_layers": osql.dag_layers_sql(),
+        "edge_sample": osql.sample_edges_sql(rate=0.25),
+        "vertex_sample": osql.sample_vertices_induced_sql(rate=0.5),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

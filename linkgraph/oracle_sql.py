@@ -2544,6 +2544,32 @@ GROUP BY user_id, session_id
 """
 
 
+def sample_edges_sql(rate: float, seed: int = 42) -> str:
+    """DuckDB twin of operators/sampling.py:sample_edges."""
+    t = int(rate * float(1 << 60))
+    h = _md5_60_duck(
+        f"'esamp:{seed}:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    return f"""
+WITH {EDGES_SQL}
+SELECT src, dst, weight FROM wedges WHERE {h} < {t}
+"""
+
+
+def sample_vertices_induced_sql(rate: float, seed: int = 42) -> str:
+    """DuckDB twin of operators/sampling.py:sample_vertices_induced."""
+    t = int(rate * float(1 << 60))
+
+    def keep(col: str) -> str:
+        h = _md5_60_duck(f"'vsamp:{seed}:' || CAST({col} AS VARCHAR)")
+        return f"{h} < {t}"
+
+    return f"""
+WITH {EDGES_SQL}
+SELECT src, dst, weight FROM wedges WHERE {keep("src")} AND {keep("dst")}
+"""
+
+
 def rmat_sql(
     scale: int = 8,
     n_edges: int = 2048,

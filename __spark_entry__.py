@@ -524,6 +524,14 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_rectangles(spark, sf_dir):
+    """Global 4-cycle count via the co-degree identity (round 5) —
+    uncapped for oracle parity; the default is the p99 hub cap."""
+    from linkgraph.operators.triangles import rectangle_count
+
+    return rectangle_count(_graph(spark, sf_dir), max_center_degree=None)
+
+
 def _q_edge_sample(spark, sf_dir):
     """Deterministic 25% uniform edge sample (round 5) — md5-threshold,
     layout-independent; the estimate-before-you-compute primitive."""
@@ -915,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_layers": _q_dag_layers,
         "edge_sample": _q_edge_sample,
         "vertex_sample": _q_vertex_sample,
+        "rectangles": _q_rectangles,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1039,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_layers": osql.dag_layers_sql(),
         "edge_sample": osql.sample_edges_sql(rate=0.25),
         "vertex_sample": osql.sample_vertices_induced_sql(rate=0.5),
+        "rectangles": osql.rectangles_sql(),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

@@ -414,6 +414,16 @@ def main() -> None:
         lambda: _louvain(g, rounds=4).count(),
         repeats=3,
     )
+    # round 5 (continued): C4 motif count at the DEFAULT p99 hub cap (the
+    # gate's oracle-parity cell runs uncapped; this is the config a user
+    # gets, same convention as the linkpred auto cap)
+    from linkgraph.operators.triangles import rectangle_count as _rect
+
+    timed(
+        "rectangles",
+        lambda: _rect(g).collect(),
+        repeats=3,
+    )
     # round 5 (continued): Borůvka MSF — per-component argmin + contraction
     from linkgraph.operators import minimum_spanning_forest as _msf
 

@@ -160,3 +160,49 @@ def triangles_per_vertex(graph: Graph, degree_oriented: bool = True) -> DataFram
         .join(corners, "id", "left")
         .select("id", F.coalesce("t", F.lit(0)).alias("triangles"))
     )
+
+
+def rectangle_count(
+    graph: Graph, max_center_degree: "int | str | None" = "auto"
+) -> DataFrame:
+    """Global 4-cycle (rectangle / C4) count; one row (rectangles: long)
+    — the next motif after the reference's triangle kernel (quadrilateral
+    density drives bipartite-core detection and spam-farm signatures on
+    web graphs, Kumar et al. 1999).
+
+    Semantics (pinned, mirrored by oracle_sql.rectangles_sql): over the
+    canonical simple undirected view, every 4-cycle u–c₁–w–c₂ is counted
+    ONCE. Identity: for co-degree k(u,w) = |N(u) ∩ N(w)|,
+    Σ_{u<w} C(k, 2) counts each rectangle exactly twice (once per
+    diagonal pair), so rectangles = Σ k·(k−1) / 4 — all-integer.
+
+    Physical: one sym⋈sym wedge self-join keyed on the center (u < w
+    halves the output), a map-side-combined (u, w) co-degree aggregate,
+    and a 1-row final fold — the clustering-coefficient join shape, NOT
+    an O(V²) pair table: only pairs with ≥1 common neighbor exist.
+    ``max_center_degree`` bounds the O(Σ d²) wedge fan-out exactly as in
+    linkpred (``'auto'`` = p99-degree cap floored at 64 — the DEFAULT;
+    ``None`` = exact, the gate's oracle-parity setting)."""
+    from linkgraph.operators.linkpred import _resolve_center_cap
+
+    canon = graph.canonical_undirected_edges()
+    sym = canon.select(F.col("a").alias("c"), F.col("b").alias("n")).unionByName(
+        canon.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("c").agg(F.count("*").alias("d"))
+    cap = _resolve_center_cap(deg, max_center_degree)
+    if cap is not None:
+        sym = sym.join(deg.filter(F.col("d") <= cap).select("c"), "c")
+    left = sym.select("c", F.col("n").alias("u"))
+    right = sym.select(F.col("c").alias("c2"), F.col("n").alias("w"))
+    codeg = (
+        left.join(right, left["c"] == right["c2"])
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("k"))
+    )
+    return codeg.agg(
+        F.coalesce(
+            (F.sum(F.col("k") * (F.col("k") - 1)) / 4).cast("long"), F.lit(0)
+        ).alias("rectangles")
+    )

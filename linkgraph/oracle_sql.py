@@ -2544,6 +2544,30 @@ GROUP BY user_id, session_id
 """
 
 
+def rectangles_sql() -> str:
+    """DuckDB twin of operators/triangles.py:rectangle_count (uncapped) —
+    co-degree identity: rectangles = Σ_{u<w} k·(k−1) / 4."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a AS c, b AS n FROM canon
+    UNION ALL
+    SELECT b AS c, a AS n FROM canon
+),
+codeg AS (
+    SELECT l.n AS u, r.n AS w, COUNT(*) AS k
+    FROM sym l JOIN sym r ON l.c = r.c AND l.n < r.n
+    GROUP BY l.n, r.n
+)
+SELECT CAST(COALESCE(SUM(k * (k - 1)) / 4, 0) AS BIGINT) AS rectangles
+FROM codeg
+"""
+
+
 def sample_edges_sql(rate: float, seed: int = 42) -> str:
     """DuckDB twin of operators/sampling.py:sample_edges."""
     t = int(rate * float(1 << 60))

@@ -337,3 +337,64 @@ def test_jaccard_pairs_matches_python(spark):
     got = {(r["a"], r["b"]): (r["cn"], r["jaccard"]) for r in rows}
     assert got == want
     g.unpersist()
+
+
+def test_rectangle_count_planted(spark):
+    # a single 4-cycle, a 4-cycle with a chord (still exactly 1 C4... the
+    # chord adds two triangles, no extra rectangle), and K4 (3 rectangles)
+    import numpy as np
+
+    from linkgraph.operators.triangles import rectangle_count
+    from tests.conftest import make_graph
+
+    def count(edges, n):
+        g = make_graph(spark, np.array(edges), n)
+        r = rectangle_count(g, max_center_degree=None).collect()[0]["rectangles"]
+        g.unpersist()
+        return r
+
+    assert count([(0, 1), (1, 2), (2, 3), (3, 0)], 4) == 1
+    assert count([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], 4) == 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert count(k4, 4) == 3
+    # triangle alone has none; path has none
+    assert count([(0, 1), (1, 2), (2, 0)], 3) == 0
+    assert count([(0, 1), (1, 2), (2, 3)], 4) == 0
+
+
+def test_rectangle_count_brute_force_random(spark):
+    import itertools
+
+    import numpy as np
+
+    from linkgraph.operators.triangles import rectangle_count
+    from tests.conftest import make_graph
+
+    rng = np.random.default_rng(11)
+    n = 14
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, 60), rng.integers(0, n, 60))
+    ]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = 0
+    for quad in itertools.combinations(range(n), 4):
+        # count distinct 4-cycles on this vertex set: 3 possible cyclic
+        # pairings; a pairing (p,q)|(r,s) is a C4 iff p-r,r-q,q-s,s-p all
+        # edges (diagonals p-q, r-s irrelevant)
+        p, q, r, s = quad
+        for d1, d2 in (((p, q), (r, s)), ((p, r), (q, s)), ((p, s), (q, r))):
+            (x1, x2), (y1, y2) = d1, d2
+            if (
+                y1 in adj[x1] and y2 in adj[x1]
+                and y1 in adj[x2] and y2 in adj[x2]
+            ):
+                want += 1
+    g = make_graph(spark, np.array(edges), n)
+    got = rectangle_count(g, max_center_degree=None).collect()[0]["rectangles"]
+    g.unpersist()
+    assert got == want

@@ -181,15 +181,22 @@ def wcc_large_small_star(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(small_min.select(F.col("src"), F.col("m").alias("dst")))
         )
-        new_edges = (
+        # dedupe ONCE in canonical (a < b) form, then emit both directions
+        # narrowly — the symmetric closure is identical to deduping the
+        # directed set and re-deduping after reversal, but costs ONE wide
+        # shuffle per round instead of two (measured 255 s → see
+        # BASELINE.md big_wcc_lss; the reversal emit is a projection)
+        new_canon = (
             large.unionByName(small)
             .filter(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])
+            .select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .dropDuplicates(["a", "b"])
         )
-        # symmetrize for the next round's neighbor scans
-        new_edges = new_edges.unionByName(
-            new_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates(["src", "dst"])
+        new_edges = new_canon.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(new_canon.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         new_edges = checkpoint(new_edges, it)
 
         # convergence: order-independent fingerprint of the edge set (one

@@ -149,3 +149,38 @@ def test_retention_cohort_sizes_broadcast(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(events.retention(ev, period="week"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_transitions_broadcasts_row_totals(spark):
+    """The T×T row-normalization join must broadcast the totals side —
+    shuffling the pair table against a T-row aggregate would be a wasted
+    exchange at 10^12 events."""
+    from linkgraph.events import transitions
+
+    plan = _plan(transitions(spark.read.parquet(f"{SF}/events.parquet")))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_featprop_avg_is_partially_aggregated(spark):
+    """The per-(dst, dim) neighbor mean must be a partial (map-side
+    combined) hash aggregate — the E·D message rows combine before the
+    exchange, which is the whole point of keying the state by (id, dim)."""
+    from linkgraph.derive import link_graph
+    from linkgraph.operators import feature_propagation
+
+    g = link_graph(spark, SF)
+    feats = (
+        g.vertices()
+        .join(
+            spark.read.parquet(f"{SF}/embeddings.parquet"),
+            F.col("id") % 500 == F.col("vec_id"),
+        )
+        .select("id", F.col("embedding").alias("vec"))
+    )
+    # pass-through checkpointer: the default localCheckpoint truncates the
+    # final plan to an RDD scan, hiding the hop's aggregate from the audit
+    out = feature_propagation(
+        g, feats, hops=1, dims=4, checkpointer=lambda df, it: df
+    )
+    plan = _plan(out)
+    assert "partial_avg" in plan, plan

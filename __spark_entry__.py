@@ -524,6 +524,12 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_containment(spark, sf_dir):
+    """Asymmetric shingle containment pairs (round 5) — the subset-dup
+    detector Jaccard misses by construction; same inverted-index join."""
+    return docs.containment_pairs(_docs(spark, sf_dir), k=5, min_containment=0.5)
+
+
 def _q_rectangles(spark, sf_dir):
     """Global 4-cycle count via the co-degree identity (round 5) —
     uncapped for oracle parity; the default is the p99 hub cap."""
@@ -924,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_sample": _q_edge_sample,
         "vertex_sample": _q_vertex_sample,
         "rectangles": _q_rectangles,
+        "containment": _q_containment,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1049,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_sample": osql.sample_edges_sql(rate=0.25),
         "vertex_sample": osql.sample_vertices_induced_sql(rate=0.5),
         "rectangles": osql.rectangles_sql(),
+        "containment": osql.containment_sql(k=5, min_containment=0.5),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

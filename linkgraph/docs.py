@@ -491,6 +491,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    k: int = 5,
+    min_containment: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment (Broder's resemblance companion):
+    one row per unordered pair sharing ≥1 shingle with
+
+        (doc_a, doc_b, c_ab, c_ba),  doc_a < doc_b,
+        c_ab = |A∩B| / |A|,  c_ba = |A∩B| / |B|,
+        max(c_ab, c_ba) ≥ min_containment
+
+    Jaccard misses SUBSET duplicates by construction: a document pasted
+    whole into a 10× larger one has jaccard ≤ 0.1 but containment 1.0 —
+    the quote-embedding / aggregator-page case every near-dup pipeline
+    hits. Same inverted-index join as ngram_jaccard_pairs (pairs exist
+    only where a shared shingle does; ``max_doc_freq`` is the same
+    stop-shingle recall-for-precision guard), one extra division.
+    Shingle sets are DISTINCT hashes, so both denominators are ≥ inter
+    and the divisions cannot hit 0 (empty-shingle docs produce no index
+    rows at all)."""
+    sh = shingle_hashes(documents, k=k).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    idx = sh
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("x").agg(F.count("*").alias("df"))
+        idx = sh.join(df_counts, "x").filter(F.col("df") <= max_doc_freq).drop("df")
+    a = idx.select(F.col("x"), F.col("doc_id").alias("doc_a"))
+    b = idx.select(F.col("x"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, "x")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("sz_a").cast("double"), 6).alias("c_ab"),
+            F.round(F.col("inter") / F.col("sz_b").cast("double"), 6).alias("c_ba"),
+        )
+        .filter(F.greatest("c_ab", "c_ba") >= min_containment)
+    )
+
+
 # ----------------------------------------------------------- dedup clusters
 # Stage numbering inside a CheckpointStore run: candidates → verified →
 # component rounds. One store = one resumable pipeline.

@@ -1115,6 +1115,30 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {min_jaccard}
 """
 
 
+def containment_sql(k: int = 5, min_containment: float = 0.8) -> str:
+    """DuckDB twin of docs.containment_pairs — same inverted-index join,
+    asymmetric |A∩B|/|A| and |A∩B|/|B|, filter on the ROUNDED greatest
+    (matching the engine's post-round filter exactly)."""
+    return f"""
+WITH {_shingles_cte(k)},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, c_ab, c_ba FROM (
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE) / sa.sz, 6) AS c_ab,
+           ROUND(CAST(i AS DOUBLE) / sb.sz, 6) AS c_ba
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+WHERE GREATEST(c_ab, c_ba) >= {min_containment}
+"""
+
+
 def knn_cosine_sql(query_vec_id: int = 0, k: int = 10) -> str:
     return f"""
 WITH q AS (

@@ -1442,3 +1442,44 @@ def test_bpe_token_counts_closed_form(spark):
         for r in bpe_token_counts(d, merges=1).collect()
     }
     assert got1 == {0: 4, 1: 1, 2: 0}
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    from linkgraph import docs as d
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pad = " ".join(f"w{i}" for i in range(90))
+    df = spark.createDataFrame(
+        [
+            (0, base),                      # the small doc
+            (1, base + " " + pad),          # contains doc 0 whole + 9x padding
+            (2, "totally different words everywhere around here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["c_ab"], r["c_ba"])
+        for r in d.containment_pairs(df, k=5, min_containment=0.8).collect()
+    }
+    assert (0, 1) in pairs
+    c_ab, c_ba = pairs[(0, 1)]
+    assert c_ab == 1.0        # every 5-shingle of doc 0 appears in doc 1
+    assert c_ba < 0.3         # but doc 1 is mostly padding
+    # jaccard at the same threshold misses it
+    jac = d.ngram_jaccard_pairs(df, k=5, min_jaccard=0.8).collect()
+    assert not any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in jac)
+    # the unrelated doc pairs with nobody
+    assert all(2 not in p for p in pairs)
+
+
+def test_containment_direction_and_symmetric_case(spark):
+    from linkgraph import docs as d
+
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id long, text string"
+    )
+    rows = d.containment_pairs(df, k=5, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["c_ab"], r["c_ba"]) == (0, 1, 1.0, 1.0)

@@ -56,6 +56,10 @@ ALGOS = (
     "louvain",
     "msf",
     "rmat",
+    "rectangles",
+    "diameter",
+    "condensation",
+    "dag_layers",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -82,7 +86,7 @@ DOC_ALGOS = (
     "quality_clf",
 )
 # event-stream analytics over an events table (--events input)
-EVENT_ALGOS = ("sessionize", "rollup", "funnel", "retention")
+EVENT_ALGOS = ("sessionize", "rollup", "funnel", "retention", "transitions")
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
@@ -311,6 +315,22 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import minimum_spanning_forest
 
         result = minimum_spanning_forest(g, store=store)
+    elif args.algo == "rectangles":
+        from linkgraph.operators.triangles import rectangle_count
+
+        result = rectangle_count(g)
+    elif args.algo == "diameter":
+        from linkgraph.operators import diameter_lower_bound
+
+        result = diameter_lower_bound(g, root=args.root_vertex)
+    elif args.algo == "condensation":
+        from linkgraph.operators.scc import condensation
+
+        result = condensation(g)
+    elif args.algo == "dag_layers":
+        from linkgraph.operators.scc import dag_layers
+
+        result = dag_layers(g)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 
@@ -450,6 +470,8 @@ def _run_event_algo(spark: SparkSession, args) -> int:
         result = evmod.rollup(events, bucket=args.bucket)
     elif args.algo == "retention":
         result = evmod.retention(events, period=args.period)
+    elif args.algo == "transitions":
+        result = evmod.transitions(events)
     else:
         steps = [s.strip() for s in args.steps.split(",") if s.strip()]
         within = args.within_seconds if args.within_seconds > 0 else None

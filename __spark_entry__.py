@@ -524,6 +524,15 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_eccentricity(spark, sf_dir):
+    """Per-vertex out-eccentricity within an h=6 horizon (round 5) —
+    the per-vertex profile beside diameter's global bound; rides the
+    all-sources MS-BFS."""
+    from linkgraph.operators.anf import eccentricity
+
+    return eccentricity(_graph(spark, sf_dir), max_h=6)
+
+
 def _q_containment(spark, sf_dir):
     """Asymmetric shingle containment pairs (round 5) — the subset-dup
     detector Jaccard misses by construction; same inverted-index join."""
@@ -931,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_sample": _q_vertex_sample,
         "rectangles": _q_rectangles,
         "containment": _q_containment,
+        "eccentricity": _q_eccentricity,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1057,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "vertex_sample": osql.sample_vertices_induced_sql(rate=0.5),
         "rectangles": osql.rectangles_sql(),
         "containment": osql.containment_sql(k=5, min_containment=0.5),
+        "eccentricity": osql.eccentricity_sql(max_h=6),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

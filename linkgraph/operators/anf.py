@@ -133,3 +133,22 @@ def mean_distance(graph: Graph, max_h: int = 8) -> DataFrame:
             F.round(F.sum("dist") / F.count(F.lit(1)), 6).alias("mean_dist"),
         )
     )
+
+
+def eccentricity(graph: Graph, max_h: int = 8) -> DataFrame:
+    """(id, ecc) — per-vertex OUT-eccentricity within the ``max_h``
+    horizon: ecc(v) = max over reachable u of d(v, u), capped (the
+    horizon makes the all-sources sweep affordable and matches every
+    other MS-BFS consumer here; the exact diameter's per-vertex
+    refinement — diameter_lower_bound gives the global bound in two
+    sweeps, this gives the full profile). A vertex reaching nothing has
+    ecc 0 (its self pair, d = 0). Rides the same all-sources MS-BFS as
+    neighborhood_function_exact / mean_distance — pair state
+    O(V · avg-ball), the gate/estimation path; at 100 TB take per-vertex
+    ball radii from HyperANF sketches instead."""
+    n = graph.num_vertices
+    dists = multi_source_bfs(graph, range(n), max_iterations=max_h)
+    return (
+        dists.groupBy(F.col("source").alias("id"))
+        .agg(F.max("dist").alias("ecc"))
+    )

@@ -2260,6 +2260,25 @@ FROM md WHERE dist > 0 AND dist <= {max_h}
 """
 
 
+def eccentricity_sql(max_h: int = 8) -> str:
+    """DuckDB twin of operators.anf.eccentricity — the capped all-sources
+    walk, MAX(dist) per source (the self row keeps unreaching vertices
+    at ecc 0)."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+walk(source, id, dist) AS (
+    SELECT v.id AS source, v.id AS id, CAST(0 AS BIGINT) AS dist
+    FROM vertices v
+    UNION
+    SELECT w.source, e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_h}
+),
+md AS (SELECT source, id, MIN(dist) AS dist FROM walk GROUP BY source, id)
+SELECT source AS id, MAX(dist) AS ecc FROM md GROUP BY source
+"""
+
+
 def stratified_sample_sql(
     rates: dict[str, float],
     strata_col: str = "lang",

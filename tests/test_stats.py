@@ -167,3 +167,19 @@ def test_diameter_lower_bound_star_from_center(spark):
     assert row["far_id"] == 1  # (dist DESC, id ASC) argmax among leaves
     assert row["diameter_lb"] == 2
     g.unpersist()
+
+
+def test_eccentricity_planted(spark):
+    # directed path 0->1->2->3: ecc(0)=3, ecc(1)=2, ecc(2)=1, ecc(3)=0
+    # (no out-edges — only the self pair); horizon cap clamps ecc(0) to 2
+    import numpy as np
+
+    from linkgraph.operators.anf import eccentricity
+    from tests.conftest import make_graph
+
+    g = make_graph(spark, np.array([(0, 1), (1, 2), (2, 3)]), 4)
+    got = {r["id"]: r["ecc"] for r in eccentricity(g, max_h=8).collect()}
+    assert got == {0: 3, 1: 2, 2: 1, 3: 0}
+    capped = {r["id"]: r["ecc"] for r in eccentricity(g, max_h=2).collect()}
+    assert capped == {0: 2, 1: 2, 2: 1, 3: 0}
+    g.unpersist()

@@ -524,6 +524,16 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_weighted_pagerank(spark, sf_dir):
+    """Weight-proportional PageRank (round 5) — p(u→v) = w/W(u); the
+    unweighted parity kernel is the w≡1 special case."""
+    from linkgraph.operators.pagerank import weighted_pagerank
+
+    return weighted_pagerank(_graph(spark, sf_dir), iterations=10).select(
+        "id", F.round("rank", 6).alias("pr")
+    )
+
+
 def _q_eccentricity(spark, sf_dir):
     """Per-vertex out-eccentricity within an h=6 horizon (round 5) —
     the per-vertex profile beside diameter's global bound; rides the
@@ -941,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectangles": _q_rectangles,
         "containment": _q_containment,
         "eccentricity": _q_eccentricity,
+        "weighted_pagerank": _q_weighted_pagerank,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1068,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "rectangles": osql.rectangles_sql(),
         "containment": osql.containment_sql(k=5, min_containment=0.5),
         "eccentricity": osql.eccentricity_sql(max_h=6),
+        "weighted_pagerank": osql.weighted_pagerank_sql(iterations=10),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

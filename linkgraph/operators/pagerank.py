@@ -273,3 +273,62 @@ def personalized_pagerank(
         it += block
         state = checkpoint(cur.select("id", "base", "rank"), it)
     return state.select("id", "rank")
+
+
+def weighted_pagerank(
+    graph: Graph,
+    iterations: int = 10,
+    damping: float = DAMPING,
+    init_rank: float = INIT_RANK,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Weight-proportional PageRank: rank flows along each edge in
+    proportion to its weight, p(u→v) = w(u,v) / W(u) with W(u) the sum
+    of u's out-weights — the recurrence behind weighted link analysis
+    (anchor-text-weighted web ranks, co-occurrence-weighted term
+    graphs). Same parity-mode conventions as :func:`pagerank`
+    (init 0.15, fixed rounds, no dangling redistribution); the
+    UNWEIGHTED kernel is the w≡1 special case.
+
+    Division-by-zero is impossible by construction, not by guard: the
+    normalized table keeps only rows with W(u) > 0 (weights are
+    non-negative, so a W(u)=0 vertex has all-zero out-weights — its
+    outflow is exactly 0, the same no-redistribution treatment the
+    parity kernel gives dangling vertices). This matters under Spark 4
+    ANSI mode, where a 0/0 in a projection can raise plan-dependently
+    even when the row is later filtered.
+
+    Physical: identical to the unweighted loop — the weight-normalized
+    edge table is built ONCE (two shuffles: the W(u) aggregate + the
+    co-partitioned join) and persisted; per round one edges⋈state join
+    + map-side-combined mass aggregate + row-preserving teleport join."""
+    checkpoint = checkpointer or _default_checkpointer
+    n = graph.num_vertices
+    if n == 0:
+        raise ValueError("weighted_pagerank: graph has no vertices")
+    teleport = (1.0 - damping) / n
+    tot = graph.edges.groupBy("src").agg(F.sum("weight").alias("wsum"))
+    norm = (
+        graph.edges.join(tot, "src")
+        .filter(F.col("wsum") > 0)
+        .select("src", "dst", (F.col("weight") / F.col("wsum")).alias("p"))
+        .repartition(graph.num_partitions, "src")
+        .localCheckpoint(eager=True)
+    )
+    ranks = graph.vertices().select("id", F.lit(float(init_rank)).alias("rank"))
+    ranks = checkpoint(ranks, 0)
+    for it in range(1, iterations + 1):
+        mass = (
+            norm.join(ranks, norm["src"] == ranks["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = ranks.select("id").join(mass, ranks["id"] == mass["dst"], "left").select(
+            "id",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = checkpoint(ranks, it)
+    return ranks

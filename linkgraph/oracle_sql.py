@@ -114,6 +114,38 @@ SELECT id, ROUND(pr, 6) AS pr FROM r{iterations}
 """
 
 
+def weighted_pagerank_sql(iterations: int = 10) -> str:
+    """DuckDB twin of operators/pagerank.py:weighted_pagerank — the
+    parity recurrence with weight-proportional transitions w/W(u),
+    W(u)=0 rows excluded (all-zero out-weights ⇒ zero outflow)."""
+    rounds = []
+    for k in range(1, iterations + 1):
+        rounds.append(
+            f"""w{k} AS MATERIALIZED (
+    SELECT v.id,
+           {_TELEPORT} + 0.85 * COALESCE(m.mass, 0.0) AS pr
+    FROM vertices v
+    LEFT JOIN (
+        SELECT nw.dst AS id, SUM(r.pr * nw.p) AS mass
+        FROM nw JOIN w{k - 1} r ON nw.src = r.id
+        GROUP BY nw.dst
+    ) m ON v.id = m.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+wt AS (SELECT src, SUM(weight) AS wsum FROM wedges GROUP BY src),
+nw AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight / t.wsum AS p
+    FROM wedges e JOIN wt t ON e.src = t.src
+    WHERE t.wsum > 0
+),
+w0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM vertices),
+{",".join(rounds)}
+SELECT id, ROUND(pr, 6) AS pr FROM w{iterations}
+"""
+
+
 def wcc_sql() -> str:
     return f"""
 WITH RECURSIVE {EDGES_SQL},

@@ -90,3 +90,65 @@ def test_personalized_pagerank_unreachable_mass_zero(spark):
     assert got[n - 1] == pytest.approx(0.15)
     assert np.all(got[: n - 1] == 0.0)
     g.unpersist()
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Weighted parity recurrence vs a NumPy twin on a graph with zero
+    weights, a W(u)=0 vertex, multi-edges, and a dangling vertex."""
+    import numpy as np
+
+    from linkgraph.graph import Graph
+    from linkgraph.operators.pagerank import weighted_pagerank
+
+    rows = [
+        (0, 1, 3.0), (0, 2, 1.0),
+        (1, 2, 2.0), (1, 2, 2.0),      # multi-edge: both contribute
+        (2, 0, 0.0), (2, 3, 0.0),      # W(2) = 0 -> no outflow at all
+        (3, 0, 5.0),
+        # vertex 4 dangling (no out-edges)
+        (0, 4, 1.0),
+    ]
+    n = 5
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph.from_edges(spark, df, num_vertices=n, num_partitions=4)
+
+    pr = np.full(n, 0.15)
+    W = np.zeros(n)
+    for s, d, w in rows:
+        W[s] += w
+    for _ in range(10):
+        mass = np.zeros(n)
+        for s, d, w in rows:
+            if W[s] > 0:
+                mass[d] += pr[s] * (w / W[s])
+        pr = (1 - 0.85) / n + 0.85 * mass
+    got = {r["id"]: r["rank"] for r in weighted_pagerank(g, iterations=10).collect()}
+    for i in range(n):
+        assert got[i] == pytest.approx(pr[i], rel=1e-12), i
+    g.unpersist()
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    """w ≡ const must reproduce the unweighted parity kernel exactly."""
+    import numpy as np
+
+    from linkgraph.graph import Graph
+    from linkgraph.operators.pagerank import weighted_pagerank
+
+    e = [(i % 12, (i * 5 + 2) % 12) for i in range(40)]
+    df = spark.createDataFrame(
+        [(s, d, 2.5) for s, d in e], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(spark, df, num_vertices=12, num_partitions=4)
+    gu = Graph.from_edges(
+        spark,
+        spark.createDataFrame(e, "src long, dst long"),
+        num_vertices=12,
+        num_partitions=4,
+    )
+    got_w = {r["id"]: r["rank"] for r in weighted_pagerank(g, iterations=10).collect()}
+    got_u = {r["id"]: r["rank"] for r in pagerank(gu, iterations=10).collect()}
+    for i in range(12):
+        assert got_w[i] == pytest.approx(got_u[i], rel=1e-12)
+    g.unpersist()
+    gu.unpersist()

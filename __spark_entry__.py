@@ -524,6 +524,14 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_triangles_estimate(spark, sf_dir):
+    """DOULION sampled triangle estimate at p=0.25 (round 5) — the
+    sampling→motif composition; deterministic canonical-pair sample."""
+    from linkgraph.operators.triangles import triangle_count_estimate
+
+    return triangle_count_estimate(_graph(spark, sf_dir), rate=0.25)
+
+
 def _q_weighted_pagerank(spark, sf_dir):
     """Weight-proportional PageRank (round 5) — p(u→v) = w/W(u); the
     unweighted parity kernel is the w≡1 special case."""
@@ -952,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "eccentricity": _q_eccentricity,
         "weighted_pagerank": _q_weighted_pagerank,
+        "triangles_estimate": _q_triangles_estimate,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1080,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "containment": osql.containment_sql(k=5, min_containment=0.5),
         "eccentricity": osql.eccentricity_sql(max_h=6),
         "weighted_pagerank": osql.weighted_pagerank_sql(iterations=10),
+        "triangles_estimate": osql.triangles_estimate_sql(rate=0.25),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

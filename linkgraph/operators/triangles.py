@@ -206,3 +206,42 @@ def rectangle_count(
             (F.sum(F.col("k") * (F.col("k") - 1)) / 4).cast("long"), F.lit(0)
         ).alias("rectangles")
     )
+
+
+def triangle_count_estimate(
+    graph: Graph, rate: float = 0.25, seed: int = 42, degree_oriented: bool = True
+) -> DataFrame:
+    """Sampled triangle estimate; one row
+    (sampled_triangles: long, estimate: double) — the
+    estimate-before-you-compute composition: count triangles on a
+    deterministic md5-threshold sample of the CANONICAL edge set (keep
+    iff md5_60('tsamp:<seed>:<a>:<b>') < rate·2^60) and scale by 1/p³
+    (a triangle survives iff its three canonical edges all survive —
+    independent per-edge keeps, so E[sampled] = p³·T exactly; Tsourakakis
+    et al.'s DOULION estimator, KDD 2009, with variance ≈ T/p³ for
+    triangle-sparse graphs). Sampling CANONICAL pairs — not directed
+    rows — is what makes the survival probability exactly p per
+    undirected edge regardless of how many directed representatives the
+    input multigraph carries.
+
+    Scale: the sampled stream rides the same adjacency-intersect
+    enumerator as the exact kernel over an E·p-row edge set — at p=0.1
+    that is ~100× fewer wedge element-ops, the point of the composition.
+    The estimate is a DOUBLE rounded to 6 dp (count/p³ is generally
+    non-integral); both engines compute the identical value because the
+    sample itself is engine-neutral."""
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    t = int(rate * float(1 << 60))
+    from linkgraph.docs import _md5_60
+
+    canon = graph.canonical_undirected_edges()
+    kept = canon.filter(
+        _md5_60(f"concat('tsamp:{seed}:', CAST(a AS STRING), ':', CAST(b AS STRING))")
+        < F.lit(t)
+    )
+    tri = _triangle_stream_from_canon(kept, degree_oriented)
+    return tri.agg(
+        F.count("*").cast("long").alias("sampled_triangles"),
+        F.round(F.count("*") / F.lit(float(rate) ** 3), 6).alias("estimate"),
+    )

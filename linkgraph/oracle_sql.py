@@ -460,6 +460,32 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def triangles_estimate_sql(rate: float = 0.25, seed: int = 42) -> str:
+    """DuckDB twin of triangles.triangle_count_estimate — the same
+    md5-threshold canonical-edge sample, exact triangle count on it,
+    scaled by 1/p³."""
+    t = int(rate * float(1 << 60))
+    h = _md5_60_duck(f"'tsamp:{seed}:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+kept AS MATERIALIZED (SELECT a, b FROM canon WHERE {h} < {t}),
+cnt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS sampled_triangles
+    FROM kept e1
+    JOIN kept e2 ON e1.b = e2.a
+    JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT sampled_triangles,
+       ROUND(sampled_triangles / {float(rate) ** 3!r}, 6) AS estimate
+FROM cnt
+"""
+
+
 def bfs_sql(root: int = 0, max_depth: int = 256) -> str:
     """``max_depth`` bounds the recursive walk; it must exceed the graph's
     true BFS eccentricity from ``root`` or the oracle silently truncates.

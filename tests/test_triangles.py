@@ -43,3 +43,56 @@ def test_triangles_per_vertex(spark):
     want = triangles_per_vertex_oracle(edges, n)
     assert np.array_equal(got, want)
     g.unpersist()
+
+
+def test_triangle_estimate_full_rate_is_exact(spark):
+    import numpy as np
+
+    from linkgraph.operators.triangles import (
+        triangle_count,
+        triangle_count_estimate,
+    )
+    from tests.conftest import make_graph
+
+    e = [(i % 16, (i * 7 + 3) % 16) for i in range(80)]
+    g = make_graph(spark, np.array(e), 16)
+    exact = triangle_count(g).collect()[0]["triangles"]
+    row = triangle_count_estimate(g, rate=1.0).collect()[0]
+    assert row["sampled_triangles"] == exact
+    assert row["estimate"] == float(exact)
+    g.unpersist()
+
+
+def test_triangle_estimate_matches_python_sample(spark):
+    """The sampled count equals a pure-Python count over the SAME
+    hashlib-selected canonical edges — the estimator is deterministic,
+    not statistical, for a fixed (rate, seed)."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    from linkgraph.operators.triangles import triangle_count_estimate
+    from tests.conftest import make_graph
+
+    e = [(i % 20, (i * 9 + 4) % 20) for i in range(120)]
+    n, rate, seed = 20, 0.5, 7
+    g = make_graph(spark, np.array(e), n)
+    row = triangle_count_estimate(g, rate=rate, seed=seed).collect()[0]
+
+    thr = int(rate * float(1 << 60))
+    canon = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    kept = {
+        (a, b)
+        for a, b in canon
+        if int(hashlib.md5(f"tsamp:{seed}:{a}:{b}".encode()).hexdigest()[:15], 16)
+        < thr
+    }
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(range(n), 3)
+        if {(x, y), (x, z), (y, z)} <= kept
+    )
+    assert row["sampled_triangles"] == want
+    assert row["estimate"] == pytest.approx(want / rate**3, abs=1e-6)
+    g.unpersist()

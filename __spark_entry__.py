@@ -524,6 +524,24 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_embeddedness(spark, sf_dir):
+    """Per-edge embeddedness (common-neighbor count) (round 5) —
+    the edge-level sibling of triangles_per_vertex; 0 marks local
+    bridges."""
+    from linkgraph.operators.triangles import edge_embeddedness
+
+    return edge_embeddedness(_graph(spark, sf_dir))
+
+
+def _q_top_event_types(spark, sf_dir):
+    """Top-3 event types per hour (round 5) — count-then-rank; the rank
+    window runs over the buckets×types aggregate, never the raw
+    events."""
+    from linkgraph.events import top_event_types
+
+    return top_event_types(spark.read.parquet(f"{sf_dir}/events.parquet"), k=3)
+
+
 def _q_triangles_estimate(spark, sf_dir):
     """DOULION sampled triangle estimate at p=0.25 (round 5) — the
     sampling→motif composition; deterministic canonical-pair sample."""
@@ -961,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": _q_eccentricity,
         "weighted_pagerank": _q_weighted_pagerank,
         "triangles_estimate": _q_triangles_estimate,
+        "embeddedness": _q_embeddedness,
+        "top_event_types": _q_top_event_types,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1090,6 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity": osql.eccentricity_sql(max_h=6),
         "weighted_pagerank": osql.weighted_pagerank_sql(iterations=10),
         "triangles_estimate": osql.triangles_estimate_sql(rate=0.25),
+        "embeddedness": osql.embeddedness_sql(),
+        "top_event_types": osql.top_event_types_sql(bucket="hour", k=3),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

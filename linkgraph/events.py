@@ -247,3 +247,27 @@ def transitions(events: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
     )
+
+
+def top_event_types(events: DataFrame, bucket: str = "hour", k: int = 3) -> DataFrame:
+    """Top-k event types per time bucket — the trending-now query:
+
+        (bucket_us, event_type, n, rank),  rank ≤ k
+
+    ranked by (count DESC, event_type ASC) so ties are deterministic.
+
+    Plan shape: the heavy lift is ONE map-side-combined
+    (bucket, event_type) count over the raw events; the rank window then
+    runs over the B×T aggregate table (buckets × types — thousands of
+    rows at any corpus size), so the per-group sort the window implies
+    never touches event-count-sized data."""
+    counts = events.groupBy(
+        _ntz_micros(F.date_trunc(bucket, F.col("ts"))).alias("bucket_us"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("bucket_us").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bucket_us", "event_type", "n", "rank")
+    )

@@ -245,3 +245,22 @@ def triangle_count_estimate(
         F.count("*").cast("long").alias("sampled_triangles"),
         F.round(F.count("*") / F.lit(float(rate) ** 3), 6).alias("estimate"),
     )
+
+
+def edge_embeddedness(graph: Graph, degree_oriented: bool = True) -> DataFrame:
+    """(a, b, embeddedness) for EVERY canonical simple edge — the number
+    of common neighbors of its endpoints (= triangles through the edge;
+    Granovetter's tie-strength / Easley-Kleinberg embeddedness). The
+    edge-level sibling of triangles_per_vertex: 0 marks local bridges,
+    the weak ties community-detection severs first.
+
+    Rides truss.py's adjacency-intersect support aggregate (no wedge
+    shuffle) plus one row-preserving left join so triangle-free edges
+    report 0 rather than vanishing."""
+    from linkgraph.operators.truss import _edge_support
+
+    canon = graph.canonical_undirected_edges()
+    sup = _edge_support(canon, degree_oriented)
+    return canon.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("sup", F.lit(0)).cast("long").alias("embeddedness")
+    )

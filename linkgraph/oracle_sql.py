@@ -460,6 +460,32 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def embeddedness_sql() -> str:
+    """DuckDB twin of triangles.edge_embeddedness — common-neighbor count
+    per canonical simple edge, triangle-free edges at 0."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a AS c, b AS n FROM canon
+    UNION ALL
+    SELECT b AS c, a AS n FROM canon
+),
+sup AS (
+    SELECT e.a, e.b, COUNT(*) AS sup
+    FROM canon e
+    JOIN sym s1 ON s1.c = e.a
+    JOIN sym s2 ON s2.c = e.b AND s2.n = s1.n
+    GROUP BY e.a, e.b
+)
+SELECT c.a, c.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS embeddedness
+FROM canon c LEFT JOIN sup s ON c.a = s.a AND c.b = s.b
+"""
+
+
 def triangles_estimate_sql(rate: float = 0.25, seed: int = 42) -> str:
     """DuckDB twin of triangles.triangle_count_estimate — the same
     md5-threshold canonical-edge sample, exact triangle count on it,
@@ -2782,6 +2808,24 @@ cnt AS (
 SELECT from_type, to_type, n,
        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
 FROM cnt
+"""
+
+
+def top_event_types_sql(bucket: str = "hour", k: int = 3) -> str:
+    """DuckDB twin of events.top_event_types — identical count-then-rank
+    with (n DESC, event_type ASC) ties."""
+    return f"""
+WITH counts AS (
+    SELECT epoch_us(date_trunc('{bucket}', ts)) AS bucket_us,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT bucket_us, event_type, n, rank FROM (
+    SELECT bucket_us, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY bucket_us
+                              ORDER BY n DESC, event_type ASC) AS rank
+    FROM counts
+) WHERE rank <= {k}
 """
 
 

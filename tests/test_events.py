@@ -244,3 +244,32 @@ def test_transitions_tie_order_is_ts_then_event_id(spark):
     )
     got = {(r["from_type"], r["to_type"]) for r in ev.transitions(df).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_top_event_types_rank_and_ties(spark):
+    df = _events_df(
+        spark,
+        [
+            # hour bucket 00: view x3, click x2, buy x1, nav x1
+            (1, "2024-01-01T00:01:00", 1, "view", 1.0),
+            (2, "2024-01-01T00:02:00", 2, "view", 1.0),
+            (3, "2024-01-01T00:03:00", 3, "view", 1.0),
+            (4, "2024-01-01T00:04:00", 1, "click", 1.0),
+            (5, "2024-01-01T00:05:00", 2, "click", 1.0),
+            (6, "2024-01-01T00:06:00", 1, "buy", 1.0),
+            (7, "2024-01-01T00:07:00", 2, "nav", 1.0),
+            # hour bucket 01: single event
+            (8, "2024-01-01T01:30:00", 1, "view", 1.0),
+        ],
+    )
+    got = {
+        (r["bucket_us"], r["rank"]): (r["event_type"], r["n"])
+        for r in ev.top_event_types(df, k=3).collect()
+    }
+    h0 = 1704067200000000  # 2024-01-01T00:00 epoch micros
+    h1 = h0 + 3600 * 1_000_000
+    assert got[(h0, 1)] == ("view", 3)
+    assert got[(h0, 2)] == ("click", 2)
+    assert got[(h0, 3)] == ("buy", 1)      # buy < nav breaks the 1-1 tie
+    assert got[(h1, 1)] == ("view", 1)
+    assert len(got) == 4                   # k caps bucket 0 at 3 rows

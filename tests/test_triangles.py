@@ -96,3 +96,22 @@ def test_triangle_estimate_matches_python_sample(spark):
     assert row["sampled_triangles"] == want
     assert row["estimate"] == pytest.approx(want / rate**3, abs=1e-6)
     g.unpersist()
+
+
+def test_edge_embeddedness_planted(spark):
+    import numpy as np
+
+    from linkgraph.operators.triangles import edge_embeddedness
+    from tests.conftest import make_graph
+
+    # K4 plus a pendant edge 3-4: every K4 edge has embeddedness 2,
+    # the pendant has 0 (a local bridge)
+    e = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4)]
+    g = make_graph(spark, np.array(e), 5)
+    got = {(r["a"], r["b"]): r["embeddedness"] for r in edge_embeddedness(g).collect()}
+    assert got[(3, 4)] == 0
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert got[(a, b)] == 2, (a, b)
+    assert len(got) == 7
+    g.unpersist()

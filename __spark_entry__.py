@@ -524,6 +524,17 @@ def _q_featprop(spark, sf_dir):
     return out.select("id", "dim", F.round("x", 6).alias("x"))
 
 
+def _q_bipartite(spark, sf_dir):
+    """Bipartite co-occurrence projection (round 5) — the co-purchase
+    graph from the RAW (l_orderkey, l_partkey) containment relation;
+    weight = distinct shared orders, support ≥ 2; uncapped for oracle
+    parity (max_left_degree is the scale knob)."""
+    from linkgraph.operators.bipartite import bipartite_project
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return bipartite_project(li, "l_orderkey", "l_partkey", min_count=2)
+
+
 def _q_embeddedness(spark, sf_dir):
     """Per-edge embeddedness (common-neighbor count) (round 5) —
     the edge-level sibling of triangles_per_vertex; 0 marks local
@@ -981,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_estimate": _q_triangles_estimate,
         "embeddedness": _q_embeddedness,
         "top_event_types": _q_top_event_types,
+        "bipartite": _q_bipartite,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
@@ -1112,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_estimate": osql.triangles_estimate_sql(rate=0.25),
         "embeddedness": osql.embeddedness_sql(),
         "top_event_types": osql.top_event_types_sql(bucket="hour", k=3),
+        "bipartite": osql.bipartite_project_sql(min_count=2),
         "pii_scrub": osql.pii_scrub_sql(),
         "chunks": osql.chunk_documents_sql(chunk_tokens=40, overlap=10),
         "pack": osql.pack_windows_sql(window_tokens=256),

@@ -460,6 +460,21 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+def bipartite_project_sql(min_count: int = 2) -> str:
+    """DuckDB twin of operators/bipartite.py:bipartite_project over the
+    raw lineitem (l_orderkey, l_partkey) containment relation, projected
+    onto parts (uncapped — the gate's oracle-parity configuration)."""
+    return f"""
+WITH rel AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem
+)
+SELECT x.r AS a, y.r AS b, COUNT(*) AS weight
+FROM rel x JOIN rel y ON x.l = y.l AND x.r < y.r
+GROUP BY x.r, y.r
+HAVING COUNT(*) >= {min_count}
+"""
+
+
 def embeddedness_sql() -> str:
     """DuckDB twin of triangles.edge_embeddedness — common-neighbor count
     per canonical simple edge, triangle-free edges at 0."""

@@ -913,8 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "spmv": _q_spmv,
         "kcore5": _q_kcore5,
-        "personalized_pagerank": _q_personalized_pagerank,
-        "reciprocity": _q_reciprocity,
+        "rmat": _q_rmat,
+        "bipartite": _q_bipartite,
         "hits5": _q_hits5,
         "louvain": _q_louvain,
         "clustering_coeff": _q_clustering_coeff,
@@ -977,10 +977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": _q_katz,
         "retention": _q_retention,
         "assortativity": _q_assortativity,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "reciprocity": _q_reciprocity,
         "conductance": _q_conductance,
         "transitions": _q_transitions,
         "diameter": _q_diameter,
-        "rmat": _q_rmat,
         "condensation": _q_condensation,
         "dag_layers": _q_dag_layers,
         "edge_sample": _q_edge_sample,
@@ -992,7 +993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_estimate": _q_triangles_estimate,
         "embeddedness": _q_embeddedness,
         "top_event_types": _q_top_event_types,
-        "bipartite": _q_bipartite,
         "walks_node2vec": _q_walks_node2vec,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,

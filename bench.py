@@ -241,22 +241,25 @@ def main() -> None:
     extras: dict[str, float] = {}
     samples_log: dict[str, list[float]] = {}
 
-    def timed(name, fn, repeats: int = 1):
+    def timed(name, fn, repeats: int = 1, stop_over: float = 90.0):
         """Record min-of-``repeats`` back-to-back runs. Gate- and
         docs-scale kernels are scheduler-latency-bound and inflate 2-4×
         under host tenancy (BASELINE.md r2; VERDICT r03 graded two such
         cells weak) — a single sample cannot certify a perf bar, the min
-        of 3 can. Queries whose FIRST sample exceeds 90 s stay
-        single-sample (bench-minutes budget; at that scale tenancy noise
-        is proportionally small). All samples are reported in
-        ``samples`` for transparency."""
+        of 3 can. Queries whose FIRST sample exceeds ``stop_over``
+        seconds stay single-sample (bench-minutes budget). The gate/docs
+        default is 90 s; the big section passes a higher ceiling because
+        its own recorded history shows 2-5× tenancy swings on 60-160 s
+        cells (big_ppr10 95.9 s single-draw vs 30.9 s the round before) —
+        exactly the cells the 90 s cutoff used to leave unrepeated. All
+        samples are reported in ``samples`` for transparency."""
         samples, out = [], None
         for _ in range(repeats):
             t = time.monotonic()
             out = fn()
             s = time.monotonic() - t
             samples.append(round(s, 3))
-            if s > 90.0:
+            if s > stop_over:
                 break
         timings[name] = min(samples)
         if len(samples) > 1:
@@ -523,9 +526,12 @@ def main() -> None:
             # (big_pagerank10: 157/41/74/142 s across r04-r05 full-bench
             # runs vs 28.4 s min-of-3 standalone on a clean host). One
             # repeat halves the odds a contended draw becomes the number
-            # of record; timed()'s >90 s early-stop keeps a badly
-            # contended first sample from doubling the bench wall time.
-            timed(f"big_{name}", fn, repeats=2)
+            # of record; the 240 s early-stop (vs the gate's 90 s) exists
+            # because the contended draws in this section land at 95-160 s
+            # — under a 90 s cutoff exactly those stayed unrepeated and
+            # became the number of record (big_ppr10 95.9 s vs 30.9 s,
+            # big_triangles 158.7 s vs 54.0 s, session-3 record).
+            timed(f"big_{name}", fn, repeats=2, stop_over=240.0)
             big_stats[f"{name}_edges_per_sec"] = round(
                 BIG_E * rounds / timings[f"big_{name}"], 1
             )

@@ -759,6 +759,35 @@ def _q_modularity(spark, sf_dir):
     return modularity(g, label_propagation(g, iterations=5))
 
 
+def _q_community_graph(spark, sf_dir):
+    """Community meta-graph (round 5): contract the labelprop5 partition
+    onto its labels — Louvain-phase-2-style coarsening; two label joins
+    over the persisted canonical edge set + one (c_a, c_b) count
+    aggregate with map-side combine."""
+    from linkgraph.operators import community_graph, label_propagation
+
+    g = _graph(spark, sf_dir)
+    return community_graph(g, label_propagation(g, iterations=5))
+
+
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(32) (round 5) — density among vertices of
+    undirected simple degree > 32; one degree aggregate + two left-semi
+    joins against the (broadcastable) rich set."""
+    from linkgraph.operators import rich_club
+
+    return rich_club(_graph(spark, sf_dir), k=32)
+
+
+def _q_ego_network(spark, sf_dir):
+    """2-hop ego-net extraction around seeds {0, 7} (round 5) — frontier
+    expansion over the symmetrized view, then the induced distinct
+    directed edges; the workbench-extraction operator."""
+    from linkgraph.operators import ego_network
+
+    return ego_network(_graph(spark, sf_dir), seeds=[0, 7], hops=2)
+
+
 def _q_skipgrams(spark, sf_dir):
     """Skip-gram co-occurrence pairs from the deterministic walk corpus
     (round 4) — the DeepWalk training-pair stage; position pairs built
@@ -994,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddedness": _q_embeddedness,
         "top_event_types": _q_top_event_types,
         "walks_node2vec": _q_walks_node2vec,
+        "community_graph": _q_community_graph,
+        "rich_club": _q_rich_club,
+        "ego_network": _q_ego_network,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
         "fingerprints": _q_fingerprints,
@@ -1092,6 +1124,9 @@ def oracle_sql() -> dict[str, str]:
             walk_length=3, walks_per_vertex=1, p=2.0, q=0.5
         ),
         "modularity": osql.modularity_sql(iterations=5),
+        "community_graph": osql.community_graph_sql(iterations=5),
+        "rich_club": osql.rich_club_sql(k=32),
+        "ego_network": osql.ego_network_sql(seeds=[0, 7], hops=2),
         "skipgrams": osql.skipgrams_sql(walk_length=4, walks_per_vertex=2, window=2),
         "ktruss4": osql.ktruss_sql(k=4, rounds=14),
         "tfidf": osql.tfidf_sql(top_k=3),

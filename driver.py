@@ -60,6 +60,9 @@ ALGOS = (
     "diameter",
     "condensation",
     "dag_layers",
+    "community_graph",
+    "rich_club",
+    "ego_network",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -153,7 +156,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--algo retention cohort period (hour/day/week)")
     p.add_argument("--min-span-len", type=int, default=50,
                    help="minimum repeated-span length (chars) for --algo despan")
-    p.add_argument("--walk-length", type=int, default=4, help="hops for walks/node2vec")
+    p.add_argument("--walk-length", type=int, default=4,
+                   help="hops for walks/node2vec and --algo ego_network")
     p.add_argument("--walks-per-vertex", type=int, default=1)
     p.add_argument("--p", type=float, default=2.0, help="node2vec return bias")
     p.add_argument("--q", type=float, default=0.5, help="node2vec in-out bias")
@@ -331,6 +335,20 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators.scc import dag_layers
 
         result = dag_layers(g)
+    elif args.algo == "community_graph":
+        from linkgraph.operators import community_graph, label_propagation
+
+        result = community_graph(g, label_propagation(g, iterations=args.iterations))
+    elif args.algo == "rich_club":
+        from linkgraph.operators import rich_club
+
+        result = rich_club(g, k=args.k)
+    elif args.algo == "ego_network":
+        from linkgraph.operators import ego_network
+
+        result = ego_network(
+            g, seeds=[args.root_vertex], hops=args.walk_length
+        )
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 

@@ -34,13 +34,16 @@ from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.scc import bowtie_census, scc, scc_census
 from linkgraph.operators.spmv import spmv
+from linkgraph.operators.sampling import ego_network
 from linkgraph.operators.stats import (
+    community_graph,
     conductance,
     degree_assortativity,
     diameter_lower_bound,
     local_clustering,
     modularity,
     reciprocity,
+    rich_club,
 )
 from linkgraph.operators.sssp import sssp
 from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
@@ -88,6 +91,9 @@ __all__ = [
     "triangles_per_vertex",
     "personalized_pagerank",
     "reciprocity",
+    "rich_club",
+    "community_graph",
+    "ego_network",
     "local_clustering",
     "degree_assortativity",
     "diameter_lower_bound",

@@ -61,3 +61,49 @@ def sample_vertices_induced(graph: Graph, rate: float, seed: int = 42) -> DataFr
         return _md5_60(f"concat('vsamp:{seed}:', CAST({col} AS STRING))") < F.lit(t)
 
     return graph.edges.filter(keep("src") & keep("dst"))
+
+
+def ego_network(graph: Graph, seeds: "list[int]", hops: int = 2) -> DataFrame:
+    """Induced subgraph extraction around a seed set: the DISTINCT
+    directed edges (src: long, dst: long) whose BOTH endpoints lie
+    within ``hops`` undirected hops of any seed — the standard ego-net /
+    snowball extraction ("pull the neighborhood of these repos into a
+    workbench") that turns a 10^12-edge graph into something a single
+    analyst session can hold. Reachability is over the SYMMETRIZED view
+    (an ego-net that ignored in-links would miss every page linking TO
+    the seed); the returned edges keep their original direction, deduped
+    so the output is a simple directed edge set (self-loops inside the
+    ball included).
+
+    Plan: ``hops`` frontier-expansion rounds over the persisted
+    symmetrized adjacency — each round one join + union + dropDuplicates
+    on the (small) reached-vertex state, checkpointed per round exactly
+    like BFS — then TWO left-semi joins filter the edge table against
+    the final ball (the ball is ego-net-small, so AQE broadcasts it;
+    the edge scan is one pass, never a collect of the neighborhood)."""
+    if hops < 0:
+        raise ValueError(f"ego_network: hops must be >= 0, got {hops}")
+    if not seeds:
+        raise ValueError("ego_network: seeds must be non-empty")
+    spark = graph.spark
+    sym = graph.symmetrized().edges.select("src", "dst")
+    ball = spark.createDataFrame(
+        [(int(s),) for s in sorted({int(s) for s in seeds})], "id long"
+    )
+    frontier = ball
+    for _ in range(hops):
+        nxt = (
+            sym.join(frontier, sym["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .join(ball, "id", "left_anti")
+            .distinct()
+        )
+        ball = ball.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        graph.edges.select("src", "dst")
+        .join(ball.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(ball.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+        .distinct()
+    )

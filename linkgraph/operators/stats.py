@@ -227,3 +227,83 @@ def diameter_lower_bound(graph: Graph, root: int = 0) -> DataFrame:
         ],
         "root_id long, ecc_root long, far_id long, far2_id long, diameter_lb long",
     )
+
+
+def community_graph(
+    graph: Graph, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Contract a vertex partition into its community meta-graph:
+    (c_a: long, c_b: long, n_edges: long) with ``c_a <= c_b``, one row
+    per unordered community pair connected by at least one undirected
+    simple edge — ``c_a = c_b`` rows carry the INTRA-community edge
+    count (the contraction's self-loop weight). This is the coarsening
+    step of every multilevel community pipeline (Louvain phase 2,
+    multilevel partitioning): after labelprop/louvain_move assigns
+    labels, the contracted graph is the next level's input, typically
+    orders of magnitude smaller — the practical way to iterate
+    community detection on a 10^12-edge graph.
+
+    Plan: the canonical undirected simple edge set (persisted, shared
+    with triangles/modularity) joined twice against ``labels`` — the
+    ``a``-side join reuses canon's hash partitioning on ``a`` — then one
+    (c_a, c_b) count aggregate with map-side partial combine; skew on a
+    giant community is absorbed by the partial aggregate exactly as
+    PageRank's hub mass is. Never materializes per-community vertex
+    lists."""
+    canon = graph.canonical_undirected_edges()
+    la = labels.select(F.col("id").alias("a"), F.col(label_col).alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col(label_col).alias("lb"))
+    return (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .select(
+            F.least("la", "lb").alias("c_a"),
+            F.greatest("la", "lb").alias("c_b"),
+        )
+        .groupBy("c_a", "c_b")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def rich_club(graph: Graph, k: int) -> DataFrame:
+    """One row (k: int, n_rich: long, rich_club: double): the rich-club
+    coefficient φ(k) (Colizza et al. 2006) of the undirected simple
+    view — among the ``n_rich`` vertices of undirected simple degree
+    > k, the fraction of the possible C(n_rich, 2) edges that exist:
+
+        φ(k) = 2·E_k / (n_rich · (n_rich − 1)),   0.0 when n_rich < 2
+
+    φ(k) near 1 at high k = the hubs form a near-clique (the classic
+    web/AS-graph signature). Plan: one degree aggregate over the
+    persisted canonical edge set, then TWO left-semi joins of canon
+    against the rich vertex set (src side rides canon's partitioning on
+    ``a``) and two scalar aggregates combined via a 1-row crossJoin —
+    the rich set shrinks rapidly with k, so Catalyst/AQE broadcasts it;
+    no all-pairs structure anywhere. Rounded to 6 dp."""
+    if k < 0:
+        raise ValueError(f"rich_club: k must be >= 0, got {k}")
+    canon = graph.canonical_undirected_edges()
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    rich = deg.filter(F.col("d") > k).select("id")
+    n_rich = rich.agg(F.count("*").alias("n_rich"))
+    ek = (
+        canon.join(rich.select(F.col("id").alias("a")), "a", "left_semi")
+        .join(rich.select(F.col("id").alias("b")), "b", "left_semi")
+        .agg(F.count("*").alias("ek"))
+    )
+    return n_rich.crossJoin(ek).select(
+        F.lit(int(k)).alias("k"),
+        F.col("n_rich"),
+        F.round(
+            F.when(
+                F.col("n_rich") >= 2,
+                2.0 * F.col("ek") / (F.col("n_rich") * (F.col("n_rich") - 1.0)),
+            ).otherwise(0.0),
+            6,
+        ).alias("rich_club"),
+    )

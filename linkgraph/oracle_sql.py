@@ -3088,3 +3088,86 @@ SELECT doc_id, rnk AS "rank",
        CAST((rnk * {int(buckets)}) // (SELECT COUNT(*) FROM documents) AS INT) AS bucket
 FROM r
 """
+
+
+def community_graph_sql(iterations: int = 5) -> str:
+    """DuckDB twin of operators.stats.community_graph over the labelprop
+    partition: contract the canonical undirected simple edge set onto
+    community labels; (c_a <= c_b, n_edges), intra edges on the
+    diagonal."""
+    return f"""
+WITH {EDGES_SQL},
+{_labelprop_ctes(iterations)},
+lab AS MATERIALIZED (SELECT id, label FROM l{iterations}),
+canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+)
+SELECT LEAST(x.label, y.label) AS c_a,
+       GREATEST(x.label, y.label) AS c_b,
+       COUNT(*) AS n_edges
+FROM canon c JOIN lab x ON c.a = x.id JOIN lab y ON c.b = y.id
+GROUP BY 1, 2
+"""
+
+
+def rich_club_sql(k: int) -> str:
+    """DuckDB twin of operators.stats.rich_club: density among vertices
+    of undirected simple degree > k; 0.0 when fewer than 2 such
+    vertices."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+    ) GROUP BY id
+),
+rich AS MATERIALIZED (SELECT id FROM deg WHERE d > {int(k)}),
+nr AS (SELECT COUNT(*) AS n FROM rich),
+ek AS (
+    SELECT COUNT(*) AS e FROM canon
+    WHERE a IN (SELECT id FROM rich) AND b IN (SELECT id FROM rich)
+)
+SELECT CAST({int(k)} AS INT) AS k,
+       nr.n AS n_rich,
+       ROUND(CASE WHEN nr.n >= 2
+                  THEN 2.0 * ek.e / (nr.n * (nr.n - 1.0))
+                  ELSE 0.0 END, 6) AS rich_club
+FROM nr, ek
+"""
+
+
+def ego_network_sql(seeds: "list[int]", hops: int = 2) -> str:
+    """DuckDB twin of operators.sampling.ego_network: unrolled
+    ``hops``-round frontier expansion over the symmetrized edge set,
+    then the induced DISTINCT directed edges with both endpoints in the
+    ball."""
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted({int(s) for s in seeds}))
+    ctes = [
+        f"r0 AS (SELECT CAST(id AS BIGINT) AS id FROM (VALUES {seed_rows}) AS t(id))"
+    ]
+    for h in range(1, hops + 1):
+        ctes.append(
+            f"""r{h} AS (
+    SELECT DISTINCT id FROM (
+        SELECT id FROM r{h - 1}
+        UNION ALL
+        SELECT s.dst AS id FROM sym s JOIN r{h - 1} r ON s.src = r.id
+    )
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+sym AS (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+{", ".join(ctes)}
+SELECT DISTINCT e.src, e.dst
+FROM edges e
+JOIN r{hops} x ON e.src = x.id
+JOIN r{hops} y ON e.dst = y.id
+"""

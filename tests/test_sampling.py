@@ -69,3 +69,58 @@ def test_vertex_sample_no_shuffle_plan(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_ego_network_chain(spark):
+    # directed chain 0→1→…→7, seeds={3}, hops=2: the undirected ball is
+    # {1..5}; induced directed edges are exactly 1→2…4→5
+    import numpy as np
+
+    from linkgraph.operators import ego_network
+    from tests.conftest import chain_edges, make_graph
+
+    edges, n = chain_edges(8)
+    g = make_graph(spark, edges, n)
+    got = sorted((r["src"], r["dst"]) for r in ego_network(g, [3], hops=2).collect())
+    assert got == [(1, 2), (2, 3), (3, 4), (4, 5)]
+    # hops=0: the ball is the seed alone — no non-self edges survive
+    assert ego_network(g, [3], hops=0).count() == 0
+    g.unpersist()
+
+
+def test_ego_network_follows_in_links_and_dedupes(spark):
+    # reachability must cross in-edges (5→3) and output is distinct
+    import numpy as np
+
+    from linkgraph.operators import ego_network
+    from tests.conftest import make_graph
+
+    edges = np.array([[5, 3], [5, 3], [6, 5], [0, 1]])
+    g = make_graph(spark, edges, 7)
+    got = sorted((r["src"], r["dst"]) for r in ego_network(g, [3], hops=2).collect())
+    assert got == [(5, 3), (6, 5)]  # 0→1 is outside the ball; dupes collapse
+    g.unpersist()
+
+
+def test_ego_network_matches_numpy_ball(spark):
+    import numpy as np
+
+    from linkgraph.operators import ego_network
+    from tests.conftest import make_graph, zipf_edges
+
+    edges, n = zipf_edges(n=300, m=1500, seed=11)
+    g = make_graph(spark, edges, n)
+    seeds, hops = [0, 42], 2
+    ball = set(seeds)
+    for _ in range(hops):
+        nxt = set()
+        for s, d in edges:
+            if s in ball:
+                nxt.add(int(d))
+            if d in ball:
+                nxt.add(int(s))
+        ball |= nxt
+    want = sorted({(int(s), int(d)) for s, d in edges if s in ball and d in ball})
+    got = sorted((r["src"], r["dst"]) for r in ego_network(g, seeds, hops=hops).collect())
+    assert got == want
+    g.unpersist()

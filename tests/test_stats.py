@@ -183,3 +183,76 @@ def test_eccentricity_planted(spark):
     capped = {r["id"]: r["ecc"] for r in eccentricity(g, max_h=2).collect()}
     assert capped == {0: 2, 1: 2, 2: 1, 3: 0}
     g.unpersist()
+
+
+def test_community_graph_two_cliques_bridge(spark):
+    # two 4-cliques + one bridge, labels = clique id → meta-graph has two
+    # intra rows (6 edges each) and one cross row (the bridge)
+    from linkgraph.operators import community_graph
+
+    cliq = lambda off: [[off + i, off + j] for i in range(4) for j in range(4) if i < j]
+    edges = np.array(cliq(0) + cliq(4) + [[0, 4]])
+    g = make_graph(spark, edges, 8)
+    labels = spark.createDataFrame(
+        [(i, i // 4) for i in range(8)], "id long, label long"
+    )
+    got = {
+        (r["c_a"], r["c_b"]): r["n_edges"]
+        for r in community_graph(g, labels).collect()
+    }
+    assert got == {(0, 0): 6, (1, 1): 6, (0, 1): 1}
+    g.unpersist()
+
+
+def test_community_graph_ignores_multi_edges_and_direction(spark):
+    # duplicate + reversed edges collapse in the canonical simple view
+    from linkgraph.operators import community_graph
+
+    edges = np.array([[0, 1], [1, 0], [0, 1], [1, 2]])
+    g = make_graph(spark, edges, 3)
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 20)], "id long, label long"
+    )
+    got = {
+        (r["c_a"], r["c_b"]): r["n_edges"]
+        for r in community_graph(g, labels).collect()
+    }
+    assert got == {(10, 10): 1, (10, 20): 1}
+    g.unpersist()
+
+
+def test_rich_club_clique_plus_leaves(spark):
+    # 4-clique (deg >= 3) with 2 extra leaves hanging off vertex 0:
+    # k=2 rich set = the clique (deg 3,3,3,5) → phi = 6/C(4,2) = 1.0
+    from linkgraph.operators import rich_club
+
+    cliq = [[i, j] for i in range(4) for j in range(4) if i < j]
+    edges = np.array(cliq + [[0, 4], [0, 5]])
+    g = make_graph(spark, edges, 6)
+    row = rich_club(g, k=2).collect()[0]
+    assert (row["k"], row["n_rich"], row["rich_club"]) == (2, 4, 1.0)
+    # k above the max degree → empty rich set → 0.0 by convention
+    row = rich_club(g, k=10).collect()[0]
+    assert (row["n_rich"], row["rich_club"]) == (0, 0.0)
+    g.unpersist()
+
+
+def test_rich_club_matches_numpy(spark):
+    from linkgraph.operators import rich_club
+    from tests.conftest import zipf_edges
+
+    edges, n = zipf_edges(n=200, m=1200, seed=7)
+    g = make_graph(spark, edges, n)
+    # numpy rebuild on the canonical simple view
+    e = edges[edges[:, 0] != edges[:, 1]]
+    canon = np.unique(np.sort(e, axis=1), axis=0)
+    deg = np.bincount(canon.ravel(), minlength=n)
+    for k in (2, 8, 32):
+        rich = deg > k
+        nr = int(rich.sum())
+        ek = int((rich[canon[:, 0]] & rich[canon[:, 1]]).sum())
+        want = round(2.0 * ek / (nr * (nr - 1.0)), 6) if nr >= 2 else 0.0
+        row = rich_club(g, k=k).collect()[0]
+        assert row["n_rich"] == nr
+        assert row["rich_club"] == pytest.approx(want, abs=1e-9)
+    g.unpersist()

@@ -17,10 +17,13 @@ Semantics (pinned, mirrored by the SQL oracle and the NumPy oracle):
   bipartite structures, so a fixed budget is the deterministic choice.
 
 Physical notes: one shuffle to join labels onto edges (state → edges, the
-small side moves), one partial/final count aggregate on (dst, label), and
-the per-vertex argmax is ``max(struct(cnt, -label))`` — an aggregate, NOT
-a window, so it rides the same hash-aggregate shuffle with map-side
-combine instead of a sort-based window.
+small side moves), then ONE wide exchange of the (dst, label) vote rows
+keyed on dst (default ``exchange='single'`` — HashPartitioning on dst
+satisfies both downstream aggregates, so the (dst, label) count AND the
+per-vertex argmax run exchange-free; see label_propagation's docstring
+for the measured A/B and the ``'pairs'`` escape hatch). The argmax is
+``max(struct(cnt, -label))`` — an aggregate, NOT a window, so it needs no
+sort.
 """
 
 from __future__ import annotations
@@ -42,10 +45,33 @@ def label_propagation(
     iterations: int = 10,
     checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
     store=None,
+    exchange: str = "single",
 ) -> DataFrame:
     """Returns DataFrame(id: long, label: long). ``store`` commits each
     round's labels; a relaunch continues from the highest committed round
-    (fixed-round algorithm — the iteration index is the whole loop state)."""
+    (fixed-round algorithm — the iteration index is the whole loop state).
+
+    ``exchange`` picks the round's wide-shuffle strategy (identical
+    output, measured A/B at 24M symmetrized edges / 2^20 vertices,
+    local[32]):
+
+    - ``"single"`` (default): repartition the joined (dst, label) vote
+      rows by ``dst`` once; HashPartitioning(dst) satisfies the clustered
+      distribution of BOTH the (dst, label) count and the per-dst argmax,
+      so the two aggregates run exchange-free — one wide shuffle per
+      round instead of two. Measured 31.0 s → 18.9 s (1.6×) on the Zipf
+      hub graph (1%-of-edges hub), labels bit-identical.
+    - ``"pairs"``: the classic two-aggregate plan — partial/final count
+      keyed on (dst, label) (its exchange spreads a hub's votes across
+      partitions, label acting as a natural salt), then a second exchange
+      on dst carrying only DISTINCT (dst, label) partials. Keep for
+      extreme-hub regimes: the ``single`` plan routes deg(hub) raw vote
+      rows into one partition, while ``pairs``' second exchange carries
+      only distinct-labels(hub) ≤ deg(hub) rows — the safer shape once a
+      single vertex's in-degree rivals a whole partition's capacity AND
+      its neighborhood has already collapsed to few labels (late rounds);
+      in early rounds distinct ≈ deg and ``pairs`` just pays the volume
+      twice, which is why ``single`` wins the measured 5-round run."""
     if store is not None:
         checkpoint = store.checkpointer
     else:
@@ -63,12 +89,16 @@ def label_propagation(
         labels = graph.vertices().select("id", F.col("id").alias("label"))
         labels = checkpoint(labels, 0)
 
-    for it in range(start + 1, iterations + 1):
-        votes = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
+    if exchange not in ("single", "pairs"):
+        raise ValueError(
+            f"label_propagation: exchange must be 'single' or 'pairs', got {exchange!r}"
         )
+
+    for it in range(start + 1, iterations + 1):
+        joined = sym.join(labels, sym["src"] == labels["id"]).select("dst", "label")
+        if exchange == "single":
+            joined = joined.repartition(graph.num_partitions, "dst")
+        votes = joined.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
         # argmax by (cnt, -label): max count, ties broken by smaller label
         winner = (
             votes.groupBy("dst")

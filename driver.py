@@ -106,6 +106,15 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=False)
     src.add_argument("--source", help="source-code table path (repo,path,commit,lang,content)")
     src.add_argument("--edges", help="pre-built edge table path (src,dst[,weight])")
+    src.add_argument("--bucketed-table",
+                     help="catalog table written by save_bucketed_edges: opens the "
+                          "graph WITHOUT the build-time repartition (the bucket "
+                          "spec provides the co-located layout)")
+    p.add_argument("--bucketed-path",
+                   help="data location of --bucketed-table, used with "
+                        "--num-partitions (= the written bucket count) to "
+                        "re-register the table when no persistent metastore "
+                        "carries its spec across sessions")
     src.add_argument("--docs", help="documents table path (doc_id,text,...) for doc algos")
     src.add_argument(
         "--embeddings", help="embeddings table path (vec_id,embedding) for ANN index builds"
@@ -223,24 +232,36 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         return _run_event_algo(spark, args)
 
-    if not (args.source or args.edges):
+    if not (args.source or args.edges or args.bucketed_table):
         print(
-            f"graph algo {args.algo!r} requires --source or --edges "
+            f"graph algo {args.algo!r} requires --source, --edges or --bucketed-table "
             f"(--docs is only for {', '.join(DOC_ALGOS)}; "
             f"--embeddings only for {', '.join(ANN_ALGOS)})",
             file=sys.stderr,
         )
         return 2
 
-    if args.source:
-        source = spark.read.parquet(args.source)
-        edges, ids = extract_edges(source, dedupe=True, drop_self=True)
-        n = args.num_vertices or ids.count()
+    if args.bucketed_table:
+        from linkgraph.sources import load_bucketed_graph
+
+        g = load_bucketed_graph(
+            spark,
+            args.bucketed_table,
+            num_vertices=args.num_vertices,
+            path=args.bucketed_path,
+            num_buckets=args.num_partitions,
+        )
     else:
-        edges = spark.read.parquet(args.edges)
-        ids = None
-        n = args.num_vertices
-    g = Graph.from_edges(spark, edges, num_vertices=n, num_partitions=args.num_partitions)
+        if args.source:
+            source = spark.read.parquet(args.source)
+            edges, ids = extract_edges(source, dedupe=True, drop_self=True)
+            n = args.num_vertices or ids.count()
+        else:
+            edges = spark.read.parquet(args.edges)
+            n = args.num_vertices
+        g = Graph.from_edges(
+            spark, edges, num_vertices=n, num_partitions=args.num_partitions
+        )
 
     store = None
     if args.checkpoint_root:

@@ -40,3 +40,103 @@ def write_table(df: DataFrame, ref: str, mode: str = "overwrite") -> None:
         df.write.format("iceberg").mode(mode).save(ref)
     else:
         df.write.mode(mode).parquet(ref)
+
+
+def save_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an edge table bucketed by ``src`` — the DURABLE form
+    of Graph.from_edges' build-time repartition. ``bucketBy(n, 'src') +
+    sortBy('src', 'dst')`` stores each file pre-hashed and pre-sorted, so
+    every LATER session's scatter join (edges ⋈ state on src) reads the
+    scan already HashPartitioning(src)-distributed and src-sorted: no
+    exchange and no sort on the 10^12-edge side, ever again. This is the
+    storage analog of the in-memory persisted adjacency — pay the wide
+    shuffle once at ingest, not once per SparkSession (at 100 TB the
+    build repartition is hours; the bucketed scan is free).
+
+    ``path`` makes it an external table (data survives catalog loss — an
+    in-memory catalog forgets bucket METADATA at session end; production
+    uses a persistent metastore, where the layout is cross-session).
+    Plan-audited in tests/test_bucketed.py: the bucketed side of the
+    scatter join shows no Exchange."""
+    w = (
+        edges.write.mode(mode)
+        .format("parquet")
+        .bucketBy(int(num_buckets), "src")
+        .sortBy("src", "dst")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def load_bucketed_graph(
+    spark: SparkSession,
+    table: str,
+    num_vertices: int | None = None,
+    add_weight_if_missing: bool = True,
+    path: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Open a :func:`save_bucketed_edges` table as a Graph WITHOUT the
+    build-time repartition/sort — the catalog's bucketing metadata hands
+    Catalyst the HashPartitioning(src) guarantee the in-memory layout
+    would otherwise re-buy with a full shuffle. num_partitions is read
+    from the table's bucket spec so salting/partition-count decisions
+    match the stored layout.
+
+    If ``table`` is absent from THIS session's catalog (an in-memory
+    catalog forgets metadata at session end; the data files and their
+    bucket-id filenames survive), pass ``path`` + ``num_buckets`` to
+    re-register the external table with the same CLUSTERED BY spec over
+    the existing files — the cross-session path when no persistent
+    metastore (HMS / Iceberg) is configured. The spec MUST match what
+    save_bucketed_edges wrote: declaring a different bucket count over
+    bucketed files mis-routes rows at read time."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import Graph, synthetic_weight
+
+    if not spark.catalog.tableExists(table):
+        if path is None or num_buckets is None:
+            raise ValueError(
+                f"load_bucketed_graph: table {table!r} is not in this "
+                "session's catalog — pass path= and num_buckets= to "
+                "re-register the bucketed layout over its files"
+            )
+        schema = spark.read.parquet(path).schema
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (src) SORTED BY (src, dst) "
+            f"INTO {int(num_buckets)} BUCKETS LOCATION '{path}'"
+        )
+    e = spark.table(table)
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    n_buckets = None
+    for r in rows:
+        if r["col_name"] == "Num Buckets":
+            n_buckets = int(r["data_type"])
+    if n_buckets is None:
+        raise ValueError(
+            f"load_bucketed_graph: {table} has no bucket spec — write it "
+            "with save_bucketed_edges (a plain table would silently "
+            "re-shuffle every scatter join)"
+        )
+    cols = [F.col("src").cast("long"), F.col("dst").cast("long")]
+    if "weight" in e.columns:
+        cols.append(F.col("weight").cast("double"))
+    elif add_weight_if_missing:
+        cols.append(synthetic_weight(F.col("src"), F.col("dst")).alias("weight"))
+    e = e.select(*cols)
+    if num_vertices is None:
+        row = e.agg(F.greatest(F.max("src"), F.max("dst")).alias("mx")).collect()[0]
+        num_vertices = int(row["mx"]) + 1 if row["mx"] is not None else 0
+    return Graph(
+        spark=spark, edges=e, num_vertices=num_vertices, num_partitions=n_buckets
+    )

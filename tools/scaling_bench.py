@@ -23,9 +23,16 @@ executor-thread count changes); AQE off (static, known-good plan — AQE's
 per-stage re-planning is pure serial driver overhead in this loop);
 shuffle on tmpfs (see linkgraph.session).
 
-Usage:  python tools/scaling_bench.py            # parent: runs both, reports
-        python tools/scaling_bench.py --child 8  # one measured run
-"""
+Usage:  python tools/scaling_bench.py                      # PageRank (default)
+        python tools/scaling_bench.py --kernel labelprop   # labelprop rounds
+        python tools/scaling_bench.py --child 8 [kernel]   # one measured run
+
+``--kernel labelprop`` runs the same protocol over label propagation's
+single-exchange round (join + repartition(dst) + two in-partition
+aggregates) at a smaller input (V=2^21, E=24M, 8 rounds) — an LP round
+moves the raw vote pairs, ~5× a PageRank round's exchange volume, so the
+input is sized to keep the local[2] leg inside the tenancy-stable
+window."""
 
 from __future__ import annotations
 
@@ -44,14 +51,21 @@ CORES_LOW = 2
 CORES_HIGH = 8
 
 
-def child(cores: int) -> None:
+LP_V = 1 << 21
+LP_E = 24_000_000
+LP_ITERS = 8
+
+
+def child(cores: int, kernel: str = "pagerank") -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
     from linkgraph.graph import Graph
-    from linkgraph.operators import pagerank
+    from linkgraph.operators import label_propagation, pagerank
     from linkgraph.session import get_spark
 
+    v, e = (LP_V, LP_E) if kernel == "labelprop" else (V, E)
+    iters = LP_ITERS if kernel == "labelprop" else ITERS
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
@@ -62,15 +76,18 @@ def child(cores: int) -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    edges = spark.range(E, numPartitions=SHUFFLE_PARTITIONS).select(
-        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(V)).alias("src"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(V)).alias("dst"),
+    edges = spark.range(e, numPartitions=SHUFFLE_PARTITIONS).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(v)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(v)).alias("dst"),
     )
     g = Graph.from_edges(
-        spark, edges, num_vertices=V, num_partitions=SHUFFLE_PARTITIONS,
+        spark, edges, num_vertices=v, num_partitions=SHUFFLE_PARTITIONS,
         add_weight_if_missing=False,
     )
-    g.out_normalized_edges().count()  # materialize adjacency before timing
+    if kernel == "labelprop":
+        g.symmetrized().edges.count()  # materialize the doubled layout
+    else:
+        g.out_normalized_edges().count()  # materialize adjacency before timing
 
     # per-iteration timing via the checkpointer hook; unroll=1 pins ONE
     # checkpointer call per iteration (the default unroll=4 would batch 4
@@ -89,9 +106,12 @@ def child(cores: int) -> None:
         last[0] = now
         return out
 
-    pagerank(g, iterations=ITERS, checkpointer=timing_checkpoint, unroll=1).count()
+    if kernel == "labelprop":
+        label_propagation(g, iterations=iters, checkpointer=timing_checkpoint).count()
+    else:
+        pagerank(g, iterations=iters, checkpointer=timing_checkpoint, unroll=1).count()
     iter_times = times[1:]  # times[0] is the init-state checkpoint
-    assert len(iter_times) == ITERS, f"expected {ITERS} per-iteration samples, got {len(iter_times)}"
+    assert len(iter_times) == iters, f"expected {iters} per-iteration samples, got {len(iter_times)}"
     best = min(iter_times)
     med = statistics.median(iter_times)
     # 25%-trimmed mean: robust middle-half statistic, shown alongside
@@ -104,26 +124,27 @@ def child(cores: int) -> None:
         json.dumps(
             {
                 "cores": cores,
-                "edges": E,
-                "vertices": V,
-                "iterations": ITERS,
+                "kernel": kernel,
+                "edges": e,
+                "vertices": v,
+                "iterations": iters,
                 "iter_sec": [round(t, 3) for t in iter_times],
                 "min_iter_sec": round(best, 3),
                 "median_iter_sec": round(med, 3),
                 "trimmed_mean_iter_sec": round(trimmed, 3),
-                "edges_per_sec_per_iter": round(E / best, 1),
-                "edges_per_sec_per_iter_trimmed": round(E / trimmed, 1),
+                "edges_per_sec_per_iter": round(e / best, 1),
+                "edges_per_sec_per_iter_trimmed": round(e / trimmed, 1),
             }
         )
     )
     spark.stop()
 
 
-def parent() -> None:
+def parent(kernel: str = "pagerank") -> None:
     results = {}
     for cores in (CORES_LOW, CORES_HIGH):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores), kernel],
             capture_output=True, text=True, timeout=3000,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -138,7 +159,7 @@ def parent() -> None:
     print(
         json.dumps(
             {
-                "metric": f"PageRank throughput scaling, local[{CORES_LOW}] vs local[{CORES_HIGH}]",
+                "metric": f"{kernel} throughput scaling, local[{CORES_LOW}] vs local[{CORES_HIGH}]",
                 f"throughput_{CORES_LOW}": tlo,
                 f"throughput_{CORES_HIGH}": thi,
                 "speedup": round(thi / tlo, 3),
@@ -154,6 +175,8 @@ def parent() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+        child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "pagerank")
+    elif len(sys.argv) > 2 and sys.argv[1] == "--kernel":
+        parent(sys.argv[2])
     else:
         parent()

@@ -759,6 +759,14 @@ def _q_modularity(spark, sf_dir):
     return modularity(g, label_propagation(g, iterations=5))
 
 
+def _q_labelprop_weighted(spark, sf_dir):
+    """Weighted label propagation (round 5) — votes carry the synthetic
+    edge weight; same single-exchange round as labelprop5."""
+    from linkgraph.operators import label_propagation
+
+    return label_propagation(_graph(spark, sf_dir), iterations=5, weighted=True)
+
+
 def _q_community_graph(spark, sf_dir):
     """Community meta-graph (round 5): contract the labelprop5 partition
     onto its labels — Louvain-phase-2-style coarsening; two label joins
@@ -1023,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddedness": _q_embeddedness,
         "top_event_types": _q_top_event_types,
         "walks_node2vec": _q_walks_node2vec,
+        "labelprop_weighted": _q_labelprop_weighted,
         "community_graph": _q_community_graph,
         "rich_club": _q_rich_club,
         "ego_network": _q_ego_network,
@@ -1124,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
             walk_length=3, walks_per_vertex=1, p=2.0, q=0.5
         ),
         "modularity": osql.modularity_sql(iterations=5),
+        "labelprop_weighted": osql.labelprop_sql(iterations=5, weighted=True),
         "community_graph": osql.community_graph_sql(iterations=5),
         "rich_club": osql.rich_club_sql(k=32),
         "ego_network": osql.ego_network_sql(seeds=[0, 7], hops=2),

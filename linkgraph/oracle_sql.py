@@ -163,15 +163,18 @@ SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id
 """
 
 
-def _labelprop_ctes(iterations: int) -> str:
+def _labelprop_ctes(iterations: int, weighted: bool = False) -> str:
     """CTE body (sym, l0 … l{iterations}) for the synchronous
     min-tiebreak label propagation — shared by labelprop_sql and
-    modularity_sql."""
+    modularity_sql. ``weighted`` makes each vote carry the edge weight
+    (sums of the integer-valued synthetic weights are exact in double,
+    so the argmax is deterministic on both engines)."""
+    vote = "SUM(s.weight)" if weighted else "COUNT(*)"
     rounds = []
     for k in range(1, iterations + 1):
         rounds.append(
             f"""votes{k} AS (
-    SELECT s.dst AS id, l.label AS label, COUNT(*) AS cnt
+    SELECT s.dst AS id, l.label AS label, {vote} AS cnt
     FROM sym s JOIN l{k - 1} l ON s.src = l.id
     GROUP BY s.dst, l.label
 ),
@@ -189,19 +192,21 @@ l{k} AS (
     LEFT JOIN win{k} w ON v.id = w.id
 )"""
         )
+    src_rel = "wedges" if weighted else "edges"
+    wcol = ", weight" if weighted else ""
     return f"""sym AS (
-    SELECT src, dst FROM edges
+    SELECT src, dst{wcol} FROM {src_rel}
     UNION ALL
-    SELECT dst AS src, src AS dst FROM edges
+    SELECT dst AS src, src AS dst{wcol} FROM {src_rel}
 ),
 l0 AS (SELECT id, id AS label FROM vertices),
 {",".join(rounds)}"""
 
 
-def labelprop_sql(iterations: int = 5) -> str:
+def labelprop_sql(iterations: int = 5, weighted: bool = False) -> str:
     return f"""
 WITH {EDGES_SQL},
-{_labelprop_ctes(iterations)}
+{_labelprop_ctes(iterations, weighted=weighted)}
 SELECT id, label FROM l{iterations}
 """
 

@@ -179,6 +179,13 @@ def _q_repetition_stats(spark, sf_dir):
     return docs.repetition_stats(_docs(spark, sf_dir), n=2)
 
 
+def _q_langid(spark, sf_dir):
+    """Stopword-marker language ID (round 5): per-doc argmax over marker
+    hit counts for en/de/fr/es — pure JVM split/filter/array_max, the
+    deterministic n-gram language-ID stage of the corpus pipeline."""
+    return docs.language_id(_docs(spark, sf_dir))
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (round 5): flag corpus docs sharing any
     8-token shingle with the probe slice doc_id % 17 == 0 (the gate's
@@ -1035,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_graph": _q_community_graph,
         "rich_club": _q_rich_club,
         "ego_network": _q_ego_network,
+        "langid": _q_langid,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
         "fingerprints": _q_fingerprints,
@@ -1190,4 +1198,5 @@ def oracle_sql() -> dict[str, str]:
         "densest": osql.densest_sql(eps_num=1, eps_den=10, rounds=48),
         "para_dedup": osql.paragraph_dedup_sql(min_doc_freq=2),
         "quantile_buckets": osql.quantile_buckets_sql(score_col="n_chars", buckets=10),
+        "langid": osql.language_id_sql(),
     }

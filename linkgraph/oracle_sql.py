@@ -3176,3 +3176,40 @@ FROM edges e
 JOIN r{hops} x ON e.src = x.id
 JOIN r{hops} y ON e.dst = y.id
 """
+
+
+def language_id_sql() -> str:
+    """DuckDB twin of docs.language_id: same whitespace tokenization, same
+    marker lists (imported constant — shared data, like the md5 seeds),
+    same argmax with declaration-order tie-break (zero-hit docs → 'en')."""
+    from linkgraph.docs import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    hits = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits.append(f"len(list_filter(t, x -> x IN ({lst}))) AS s_{lang}")
+    # argmax with earlier-language tie-break: lang i wins iff its hits are
+    # >= every LATER language's hits (earlier ones already failed their turn)
+    guess = "CASE\n"
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        guess += f"    WHEN {conds} THEN '{lang}'\n"
+    guess += f"    ELSE '{langs[-1]}' END"
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    cols = ",\n           ".join(hits)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, len(t) AS n,
+           {cols}
+    FROM toks
+)
+SELECT doc_id,
+       {guess} AS lang_guess,
+       ROUND({best} / NULLIF(CAST(n AS DOUBLE), 0.0), 6) AS lang_score
+FROM scored
+"""

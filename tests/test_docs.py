@@ -1483,3 +1483,52 @@ def test_containment_direction_and_symmetric_case(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["doc_a"], r["doc_b"], r["c_ab"], r["c_ba"]) == (0, 1, 1.0, 1.0)
+
+
+def test_language_id_markers_and_ties(spark):
+    """Marker argmax picks the right language; zero-hit and tied docs fall
+    back to declaration order (en first); score = hits/tokens."""
+    from linkgraph.docs import language_id
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the cat and the dog", "en", "s", 0),       # en x3
+            (1, "der Hund und die Katze ist", "en", "s", 0),  # de x4
+            (2, "le chat est dans la maison", "en", "s", 0),  # fr: le,est,dans,la
+            (3, "zzz qqq www", "en", "s", 0),                # zero hits -> en
+            (4, "la", "en", "s", 0),                         # fr/es tie -> fr
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["lang_guess"], r["lang_score"])
+        for r in language_id(corpus).collect()
+    }
+    assert got[0] == ("en", 0.6)
+    assert got[1][0] == "de"
+    assert got[2][0] == "fr"
+    assert got[3] == ("en", 0.0)
+    assert got[4] == ("fr", 1.0)
+
+
+def test_language_id_oracle_parity(spark, sf_dir="/root/testdata/sf0.001"):
+    """Value-for-value parity with the DuckDB twin on the gate corpus."""
+    import duckdb
+
+    from linkgraph.docs import language_id
+    from linkgraph.oracle_sql import language_id_sql
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["lang_guess"], r["lang_score"])
+        for r in language_id(docs_df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        int(d): (g, s) for d, g, s in con.execute(language_id_sql()).fetchall()
+    }
+    assert got == want

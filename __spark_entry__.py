@@ -593,6 +593,16 @@ def _q_containment(spark, sf_dir):
     return docs.containment_pairs(_docs(spark, sf_dir), k=5, min_containment=0.5)
 
 
+def _q_cliques4(spark, sf_dir):
+    """Global 4-clique count (round 5): the triangle enumerator extended
+    one level — per-triangle ``array_intersect(common_uv, adj[w])`` over
+    degree-oriented sorted adjacency; Chiba-Nishizeki in DataFrame form,
+    value-checked against a flat 6-edge-join oracle."""
+    from linkgraph.operators.triangles import four_clique_count
+
+    return four_clique_count(_graph(spark, sf_dir))
+
+
 def _q_rectangles(spark, sf_dir):
     """Global 4-cycle count via the co-degree identity (round 5) —
     uncapped for oracle parity; the default is the p99 hub cap."""
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "ego_network": _q_ego_network,
         "langid": _q_langid,
+        "cliques4": _q_cliques4,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_knn_batch": _q_lsh_knn_batch,
         "fingerprints": _q_fingerprints,
@@ -1199,4 +1210,5 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup": osql.paragraph_dedup_sql(min_doc_freq=2),
         "quantile_buckets": osql.quantile_buckets_sql(score_col="n_chars", buckets=10),
         "langid": osql.language_id_sql(),
+        "cliques4": osql.cliques4_sql(),
     }

@@ -46,7 +46,11 @@ from linkgraph.operators.stats import (
     rich_club,
 )
 from linkgraph.operators.sssp import sssp
-from linkgraph.operators.triangles import triangle_count, triangles_per_vertex
+from linkgraph.operators.triangles import (
+    four_clique_count,
+    triangle_count,
+    triangles_per_vertex,
+)
 from linkgraph.operators.truss import k_truss
 from linkgraph.operators.walks import (
     node2vec_walks,
@@ -87,6 +91,7 @@ __all__ = [
     "scc",
     "bowtie_census",
     "scc_census",
+    "four_clique_count",
     "triangle_count",
     "triangles_per_vertex",
     "personalized_pagerank",

@@ -3213,3 +3213,24 @@ SELECT doc_id,
        ROUND({best} / NULLIF(CAST(n AS DOUBLE), 0.0), 6) AS lang_score
 FROM scored
 """
+
+
+def cliques4_sql() -> str:
+    """DuckDB twin of operators.triangles.four_clique_count: the flat
+    6-edge join over the canonical a<b simple edge set — each id-ordered
+    4-tuple {u<v<w<x} with all six edges present counted once. An
+    independent formulation (no orientation, no adjacency arrays)."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS cliques4
+FROM canon e1
+JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+JOIN canon e4 ON e4.a = e1.a AND e4.b > e2.b
+JOIN canon e5 ON e5.a = e1.b AND e5.b = e4.b
+JOIN canon e6 ON e6.a = e2.b AND e6.b = e4.b
+"""

@@ -115,3 +115,36 @@ def test_edge_embeddedness_planted(spark):
             assert got[(a, b)] == 2, (a, b)
     assert len(got) == 7
     g.unpersist()
+
+
+def test_four_clique_count_planted(spark):
+    import numpy as np
+
+    from linkgraph.operators import four_clique_count
+    from tests.conftest import make_graph
+
+    # K5 on {0..4}: C(5,4) = 5 four-cliques; a disjoint triangle {5,6,7}
+    # and a pendant edge contribute none
+    e = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(5, 6), (5, 7), (6, 7), (7, 8)]
+    )
+    g = make_graph(spark, np.array(e), 9)
+    for oriented in (True, False):
+        assert (
+            four_clique_count(g, degree_oriented=oriented).collect()[0]["cliques4"]
+            == 5
+        )
+    g.unpersist()
+
+
+def test_four_clique_count_triangle_free(spark):
+    import numpy as np
+
+    from linkgraph.operators import four_clique_count
+    from tests.conftest import make_graph
+
+    # C4 (a 4-cycle) has no triangles, hence no 4-cliques
+    g = make_graph(spark, np.array([(0, 1), (1, 2), (2, 3), (0, 3)]), 4)
+    assert four_clique_count(g).collect()[0]["cliques4"] == 0
+    g.unpersist()

@@ -514,6 +514,16 @@ def _q_matching(spark, sf_dir):
     return maximal_matching(_graph(spark, sf_dir))
 
 
+def _q_matching_weighted(spark, sf_dir):
+    """Locally-dominant greedy weighted matching (round 5, Preis 1999 /
+    Manne-Bisseling 2007) — same deterministic rounds as `matching` but
+    priority (weight DESC, a, b) over the synthetic a%10+b%10 weights;
+    computes exactly the sequential greedy-by-weight ½-approximation."""
+    from linkgraph.operators import maximal_weight_matching
+
+    return maximal_weight_matching(_graph(spark, sf_dir))
+
+
 def _q_featprop(spark, sf_dir):
     """GNN-style 2-hop neighbor-mean feature propagation (round 5) —
     vertex features attached as embeddings[v % 500], first 8 dims; the
@@ -983,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness8": _q_betweenness8,
         "mis": _q_mis,
         "matching": _q_matching,
+        "matching_weighted": _q_matching_weighted,
         "msf": _q_msf,
         "featprop": _q_featprop,
         "coloring": _q_coloring,
@@ -1172,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": osql.bowtie_sql(),
         "louvain": osql.louvain_sql(rounds=4),
         "matching": osql.matching_sql(seed=42, rounds=12),
+        "matching_weighted": osql.weighted_matching_sql(rounds=56),
         "msf": osql.msf_sql(rounds=12),
         "featprop": osql.featprop_sql(hops=2, dims=8),
         "transitions": osql.transitions_sql(),

@@ -27,7 +27,7 @@ from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
 from linkgraph.operators.louvain import louvain_move
-from linkgraph.operators.matching import maximal_matching
+from linkgraph.operators.matching import maximal_matching, maximal_weight_matching
 from linkgraph.operators.mis import maximal_independent_set
 from linkgraph.operators.featprop import feature_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
@@ -80,6 +80,7 @@ __all__ = [
     "label_propagation",
     "maximal_independent_set",
     "maximal_matching",
+    "maximal_weight_matching",
     "minimum_spanning_forest",
     "feature_propagation",
     "adamic_adar",

@@ -1536,6 +1536,32 @@ def matching_sql(seed: int = 42, rounds: int = 12) -> str:
     pri = _md5_60_duck(
         f"'match:{int(seed)}:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
     )
+    return _greedy_matching_sql(pri, rounds, "SELECT a, b FROM matched")
+
+
+def weighted_matching_sql(rounds: int = 56) -> str:
+    """DuckDB twin of operators.matching.maximal_weight_matching: the same
+    unrolled greedy rounds, priority = (18 − weight) packed above 56
+    md5 hash bits (weight DESC, hash tie-break — the engine's exact
+    key). 19 distinct weight levels stack domination chains (measured
+    depth 38 at sf0.01 vs 9 for the pure-hash order), so the unroll
+    carries extra margin — rounds past exhaustion are no-ops."""
+    h = _md5_60_duck("'wmatch:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    return _greedy_matching_sql(
+        f"(CAST(18 - (a % 10 + b % 10) AS BIGINT) * (1::BIGINT << 56) + ({h}) // 16)",
+        rounds,
+        "SELECT a, b, CAST(a % 10 + b % 10 AS BIGINT) AS weight FROM matched",
+    )
+
+
+def _greedy_matching_sql(pri: str, rounds: int, tail_select: str) -> str:
+    """Shared unroll for the greedy-matching twins. Each round mirrors the
+    engine's aggregation plan rather than a correlated NOT EXISTS (the
+    quadratic edge×edge scan took 300+ s at 56 rounds on sf0.01; this
+    per-vertex MIN + anti-join form runs in seconds): explode alive
+    edges to endpoint incidence, take each vertex's lexicographic-min
+    (p, a, b) struct, match edges that are the min at BOTH endpoints,
+    retire matched vertices."""
     parts = [
         f"""a0 AS MATERIALIZED (
     SELECT a, b, {pri} AS p FROM (
@@ -1546,21 +1572,23 @@ def matching_sql(seed: int = 42, rounds: int = 12) -> str:
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"""w{r} AS MATERIALIZED (
+            f"""i{r} AS MATERIALIZED (
+    SELECT v, MIN(struct_pack(p := p, a := a, b := b)) AS m FROM (
+        SELECT a AS v, p, a, b FROM a{r - 1}
+        UNION ALL SELECT b AS v, p, a, b FROM a{r - 1}
+    ) GROUP BY v
+),
+w{r} AS MATERIALIZED (
     SELECT x.a, x.b FROM a{r - 1} x
-    WHERE NOT EXISTS (
-        SELECT 1 FROM a{r - 1} y
-        WHERE NOT (y.a = x.a AND y.b = x.b)
-          AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b))
-          AND (y.p < x.p OR (y.p = x.p
-               AND (y.a < x.a OR (y.a = x.a AND y.b < x.b))))
-    )
+    JOIN i{r} ia ON ia.v = x.a
+        AND ia.m = struct_pack(p := x.p, a := x.a, b := x.b)
+    JOIN i{r} ib ON ib.v = x.b
+        AND ib.m = struct_pack(p := x.p, a := x.a, b := x.b)
 ),
 a{r} AS MATERIALIZED (
     SELECT x.a, x.b, x.p FROM a{r - 1} x
-    WHERE NOT EXISTS (
-        SELECT 1 FROM w{r} w WHERE w.a IN (x.a, x.b) OR w.b IN (x.a, x.b)
-    )
+    WHERE x.a NOT IN (SELECT a FROM w{r} UNION ALL SELECT b FROM w{r})
+      AND x.b NOT IN (SELECT a FROM w{r} UNION ALL SELECT b FROM w{r})
 )"""
         )
     union = "\n    UNION ALL ".join(
@@ -1569,8 +1597,9 @@ a{r} AS MATERIALIZED (
     body = ",\n".join(parts)
     return f"""
 WITH {EDGES_SQL},
-{body}
-{union}
+{body},
+matched AS ({union})
+{tail_select}
 """
 
 

@@ -391,6 +391,36 @@ def _q_katz(spark, sf_dir):
     )
 
 
+def _q_salsa5(spark, sf_dir):
+    """SALSA, 5 L1-normalized random-walk rounds (round 5) — hits5's
+    loop shape with stochastic (degree-normalized) edge weights."""
+    from linkgraph.operators import salsa
+
+    s = salsa(_graph(spark, sf_dir), iterations=5)
+    return s.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_cocitation(spark, sf_dir):
+    """Top-50 co-cited pairs (common in-neighbors, round 5) — the
+    adamic_adar wedge machinery on the directed view; uncapped
+    explicitly for oracle parity (API default is the p99 auto cap)."""
+    from linkgraph.operators import cocitation
+
+    return cocitation(_graph(spark, sf_dir), top_k=50, max_center_degree=None)
+
+
+def _q_coupling(spark, sf_dir):
+    """Top-50 bibliographically-coupled pairs (common out-neighbors,
+    round 5); uncapped explicitly for oracle parity."""
+    from linkgraph.operators import bibliographic_coupling
+
+    return bibliographic_coupling(
+        _graph(spark, sf_dir), top_k=50, max_center_degree=None
+    )
+
+
 def _q_clustering_coeff(spark, sf_dir):
     """Per-vertex local clustering coefficient (round 4)."""
     from linkgraph.operators import local_clustering
@@ -1077,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": _q_coreness,
         "mean_distance": _q_mean_distance,
         "jaccard_pairs": _q_jaccard_pairs,
+        "salsa5": _q_salsa5,
+        "cocitation": _q_cocitation,
+        "coupling": _q_coupling,
         "simhash": _q_simhash,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
@@ -1151,6 +1184,9 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": osql.reciprocity_sql(),
         "assortativity": osql.assortativity_sql(),
         "hits5": osql.hits_sql(5),
+        "salsa5": osql.salsa_sql(5),
+        "cocitation": osql.cocitation_sql(top_k=50),
+        "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),
         "clustering_coeff": osql.clustering_coeff_sql(),
         "adamic_adar": osql.adamic_adar_sql(top_k=50),

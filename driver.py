@@ -52,6 +52,9 @@ ALGOS = (
     "coloring",
     "densest",
     "katz",
+    "salsa",
+    "cocitation",
+    "coupling",
     "bowtie",
     "louvain",
     "msf",
@@ -328,6 +331,18 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import katz
 
         result = katz(g, iterations=args.iterations)
+    elif args.algo == "salsa":
+        from linkgraph.operators import salsa
+
+        result = salsa(g, iterations=args.iterations)
+    elif args.algo == "cocitation":
+        from linkgraph.operators import cocitation
+
+        result = cocitation(g, top_k=args.k)
+    elif args.algo == "coupling":
+        from linkgraph.operators import bibliographic_coupling
+
+        result = bibliographic_coupling(g, top_k=args.k)
     elif args.algo == "bowtie":
         from linkgraph.operators import bowtie_census
 

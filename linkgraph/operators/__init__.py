@@ -14,6 +14,7 @@ from linkgraph.operators.anf import (
 )
 from linkgraph.operators.betweenness import betweenness
 from linkgraph.operators.bfs import bfs
+from linkgraph.operators.cocitation import bibliographic_coupling, cocitation
 from linkgraph.operators.coloring import graph_coloring
 from linkgraph.operators.densest import densest_subgraph
 from linkgraph.operators.harmonic import (
@@ -21,7 +22,7 @@ from linkgraph.operators.harmonic import (
     harmonic_centrality,
     multi_source_bfs,
 )
-from linkgraph.operators.hits import hits
+from linkgraph.operators.hits import hits, salsa
 from linkgraph.operators.katz import katz
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
@@ -73,6 +74,9 @@ __all__ = [
     "effective_diameter",
     "mean_distance",
     "hits",
+    "salsa",
+    "cocitation",
+    "bibliographic_coupling",
     "katz",
     "k_core",
     "k_truss",

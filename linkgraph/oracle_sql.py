@@ -3263,3 +3263,102 @@ JOIN canon e4 ON e4.a = e1.a AND e4.b > e2.b
 JOIN canon e5 ON e5.a = e1.b AND e5.b = e4.b
 JOIN canon e6 ON e6.a = e2.b AND e6.b = e4.b
 """
+
+
+def _common_neighbor_pairs_sql(center: str, side: str, top_k: int) -> str:
+    """Shared tail for the co-citation / coupling twins: pair count over
+    wedge centers on the directed simple (self-loop-free) edge set,
+    deterministic (c DESC, a, b) top-k."""
+    return f"""
+WITH {EDGES_SQL},
+simple AS (SELECT src, dst FROM edges WHERE src <> dst),
+pairs AS (
+    SELECT e1.{side} AS a, e2.{side} AS b, COUNT(*) AS c
+    FROM simple e1 JOIN simple e2
+      ON e1.{center} = e2.{center} AND e1.{side} < e2.{side}
+    GROUP BY 1, 2
+)
+SELECT a, b, c FROM pairs ORDER BY c DESC, a, b LIMIT {int(top_k)}
+"""
+
+
+def cocitation_sql(top_k: int = 50) -> str:
+    """DuckDB twin of operators.cocitation.cocitation: top-k pairs by
+    common in-neighbor count (wedge center = src), uncapped."""
+    return _common_neighbor_pairs_sql("src", "dst", top_k)
+
+
+def coupling_sql(top_k: int = 50) -> str:
+    """DuckDB twin of operators.cocitation.bibliographic_coupling: top-k
+    pairs by common out-neighbor count (wedge center = dst), uncapped."""
+    return _common_neighbor_pairs_sql("dst", "src", top_k)
+
+
+def eigenvector_sql(iterations: int = 10) -> str:
+    """Unrolled power iteration x ← L2-normalize(Aᵀx) — the DuckDB twin
+    of operators/hits.py::eigenvector_centrality. Round CTEs fan out
+    (norm agg + projection) → AS MATERIALIZED, the hits_sql hazard."""
+    parts = ["x0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM vertices)"]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""rr{k} AS MATERIALIZED (
+    SELECT e.dst AS id, SUM(x.v) AS s
+    FROM edges e JOIN x{k - 1} x ON e.src = x.id GROUP BY e.dst
+),
+n{k} AS MATERIALIZED (SELECT SQRT(SUM(s * s)) AS nrm FROM rr{k}),
+x{k} AS MATERIALIZED (
+    SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS v
+    FROM vertices v LEFT JOIN rr{k} r ON v.id = r.id CROSS JOIN n{k} n
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+{",".join(parts)}
+SELECT id, ROUND(v, 6) AS eig FROM x{iterations}
+"""
+
+
+def salsa_sql(iterations: int = 5) -> str:
+    """Unrolled SALSA power iteration — the DuckDB twin of
+    operators/hits.py::salsa. hits_sql's round shape with the
+    random-walk edge weights (1/outdeg(src), 1/indeg(dst)) joined in
+    once, and L1 norms in place of L2. AS MATERIALIZED on the fan-out
+    CTEs for the same re-inlining hazard hits_sql documents."""
+    parts = [
+        """outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst),
+ew AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 / o.od AS wa, 1.0 / i.idg AS wh
+    FROM edges e
+    JOIN outd o ON e.src = o.src
+    JOIN ind i ON e.dst = i.dst
+),
+h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM vertices)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+    SELECT e.dst AS id, SUM(e.wa * h.hub) AS s
+    FROM ew e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst
+),
+an{i} AS MATERIALIZED (SELECT SUM(ABS(s)) AS nrm FROM ar{i}),
+a{i} AS MATERIALIZED (
+    SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS auth
+    FROM vertices v LEFT JOIN ar{i} r ON v.id = r.id CROSS JOIN an{i} n
+),
+hr{i} AS MATERIALIZED (
+    SELECT e.src AS id, SUM(e.wh * a.auth) AS s
+    FROM ew e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+),
+hn{i} AS MATERIALIZED (SELECT SUM(ABS(s)) AS nrm FROM hr{i}),
+h{i} AS MATERIALIZED (
+    SELECT v.id, COALESCE(r.s, 0.0) / n.nrm AS hub
+    FROM vertices v LEFT JOIN hr{i} r ON v.id = r.id CROSS JOIN hn{i} n
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+{",".join(parts)}
+SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub
+FROM a{iterations} a JOIN h{iterations} h ON a.id = h.id
+"""

@@ -402,6 +402,16 @@ def _q_salsa5(spark, sf_dir):
     )
 
 
+def _q_eigcent10(spark, sf_dir):
+    """Eigenvector centrality, 10 power-iteration rounds (round 5) —
+    the undamped single-vector member of the hits/katz family."""
+    from linkgraph.operators import eigenvector_centrality
+
+    return eigenvector_centrality(_graph(spark, sf_dir), iterations=10).select(
+        "id", F.round("eig", 6).alias("eig")
+    )
+
+
 def _q_cocitation(spark, sf_dir):
     """Top-50 co-cited pairs (common in-neighbors, round 5) — the
     adamic_adar wedge machinery on the directed view; uncapped
@@ -1108,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_distance": _q_mean_distance,
         "jaccard_pairs": _q_jaccard_pairs,
         "salsa5": _q_salsa5,
+        "eigcent10": _q_eigcent10,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
@@ -1185,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": osql.assortativity_sql(),
         "hits5": osql.hits_sql(5),
         "salsa5": osql.salsa_sql(5),
+        "eigcent10": osql.eigenvector_sql(10),
         "cocitation": osql.cocitation_sql(top_k=50),
         "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),

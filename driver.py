@@ -52,6 +52,7 @@ ALGOS = (
     "coloring",
     "densest",
     "katz",
+    "eigcent",
     "salsa",
     "cocitation",
     "coupling",
@@ -331,6 +332,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import katz
 
         result = katz(g, iterations=args.iterations)
+    elif args.algo == "eigcent":
+        from linkgraph.operators import eigenvector_centrality
+
+        result = eigenvector_centrality(g, iterations=args.iterations)
     elif args.algo == "salsa":
         from linkgraph.operators import salsa
 

@@ -22,7 +22,7 @@ from linkgraph.operators.harmonic import (
     harmonic_centrality,
     multi_source_bfs,
 )
-from linkgraph.operators.hits import hits, salsa
+from linkgraph.operators.hits import eigenvector_centrality, hits, salsa
 from linkgraph.operators.katz import katz
 from linkgraph.operators.kcore import coreness, k_core
 from linkgraph.operators.labelprop import label_propagation
@@ -75,6 +75,7 @@ __all__ = [
     "mean_distance",
     "hits",
     "salsa",
+    "eigenvector_centrality",
     "cocitation",
     "bibliographic_coupling",
     "katz",

@@ -6,7 +6,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from linkgraph.operators import bibliographic_coupling, cocitation, salsa
+from linkgraph.operators import (
+    bibliographic_coupling,
+    cocitation,
+    eigenvector_centrality,
+    salsa,
+)
 from tests.conftest import make_graph, zipf_edges
 
 
@@ -57,6 +62,22 @@ def test_salsa_star_is_uniform_random_walk(spark):
     for leaf in range(1, 9):
         assert got[leaf]["auth"] == pytest.approx(0.0)
         assert got[leaf]["hub"] == pytest.approx(1.0 / 8.0)
+    g.unpersist()
+
+
+def test_eigenvector_matches_numpy_power_iteration(spark):
+    edges, n = zipf_edges(n=200, m=1200)
+    g = make_graph(spark, edges, n)
+    got = {r["id"]: r["eig"] for r in eigenvector_centrality(g, iterations=10).collect()}
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] += 1.0
+    x = np.ones(n)
+    for _ in range(10):
+        x = A.T @ x
+        x = x / np.linalg.norm(x)
+    for v in range(n):
+        assert got[v] == pytest.approx(x[v], abs=1e-9)
     g.unpersist()
 
 

@@ -402,6 +402,14 @@ def _q_salsa5(spark, sf_dir):
     )
 
 
+def _q_onion(spark, sf_dir):
+    """Onion decomposition (round 5): every vertex's peel layer and its
+    core number, the within-shell refinement of coreness."""
+    from linkgraph.operators import onion_decomposition
+
+    return onion_decomposition(_graph(spark, sf_dir))
+
+
 def _q_eigcent10(spark, sf_dir):
     """Eigenvector centrality, 10 power-iteration rounds (round 5) —
     the undamped single-vector member of the hits/katz family."""
@@ -1119,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "salsa5": _q_salsa5,
         "eigcent10": _q_eigcent10,
+        "onion": _q_onion,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
@@ -1197,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "hits5": osql.hits_sql(5),
         "salsa5": osql.salsa_sql(5),
         "eigcent10": osql.eigenvector_sql(10),
+        "onion": osql.onion_sql(rounds=60),
         "cocitation": osql.cocitation_sql(top_k=50),
         "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),

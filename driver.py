@@ -44,6 +44,7 @@ ALGOS = (
     "spmv",
     "kcore",
     "coreness",
+    "onion",
     "ktruss",
     "mis",
     "matching",
@@ -292,6 +293,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import coreness
 
         result = coreness(g)
+    elif args.algo == "onion":
+        from linkgraph.operators import onion_decomposition
+
+        result = onion_decomposition(g)
     elif args.algo == "ktruss":
         from linkgraph.operators import k_truss
 

@@ -24,7 +24,7 @@ from linkgraph.operators.harmonic import (
 )
 from linkgraph.operators.hits import eigenvector_centrality, hits, salsa
 from linkgraph.operators.katz import katz
-from linkgraph.operators.kcore import coreness, k_core
+from linkgraph.operators.kcore import coreness, k_core, onion_decomposition
 from linkgraph.operators.labelprop import label_propagation
 from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
 from linkgraph.operators.louvain import louvain_move
@@ -82,6 +82,7 @@ __all__ = [
     "k_core",
     "k_truss",
     "coreness",
+    "onion_decomposition",
     "label_propagation",
     "maximal_independent_set",
     "maximal_matching",

@@ -3362,3 +3362,64 @@ WITH {EDGES_SQL},
 SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub
 FROM a{iterations} a JOIN h{iterations} h ON a.id = h.id
 """
+
+
+def onion_sql(rounds: int = 60) -> str:
+    """DuckDB twin of operators.kcore.onion_decomposition: ``rounds``
+    unrolled peel layers. Each round: alive degrees (isolated alive
+    vertices at 0), running threshold c_r = max(c_{r-1}, min alive
+    degree), layer split, both-endpoint edge prune. Rounds past the
+    exhaustion of the vertex set are no-ops (empty alive set → NULL min
+    coalesced to the previous core, empty layer), so any ``rounds`` ≥
+    the true layer count is exact — measured 17 layers at sf0.001 and
+    48 at sf0.01; the ENGINE side runs to the actual empty-set fixpoint
+    and raises if it exceeds its bound, so a deeper gate graph fails
+    loudly. AS MATERIALIZED throughout: every round CTE fans out
+    (degree agg + threshold scalar + layer split + edge prune)."""
+    parts = [
+        """canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+e0 AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL
+    SELECT b AS src, a AS dst FROM canon
+),
+v0 AS MATERIALIZED (SELECT id FROM vertices),
+c0 AS (SELECT 0 AS core)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+    SELECT v.id, COALESCE(g.d, 0) AS d
+    FROM v{r - 1} v
+    LEFT JOIN (SELECT src AS id, COUNT(*) AS d FROM e{r - 1} GROUP BY src) g
+      ON v.id = g.id
+),
+c{r} AS MATERIALIZED (
+    SELECT GREATEST((SELECT core FROM c{r - 1}),
+                    COALESCE((SELECT MIN(d) FROM d{r}),
+                             (SELECT core FROM c{r - 1}))) AS core
+),
+r{r} AS MATERIALIZED (
+    SELECT id, {r} AS layer, (SELECT core FROM c{r}) AS onion_core
+    FROM d{r} WHERE d <= (SELECT core FROM c{r})
+),
+v{r} AS MATERIALIZED (
+    SELECT id FROM d{r} WHERE d > (SELECT core FROM c{r})
+),
+e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{r - 1} e
+    JOIN v{r} x ON e.src = x.id
+    JOIN v{r} y ON e.dst = y.id
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{r}" for r in range(1, rounds + 1))
+    return f"""
+WITH {EDGES_SQL},
+{",".join(parts)}
+SELECT CAST(id AS BIGINT) AS id, CAST(layer AS BIGINT) AS layer,
+       CAST(onion_core AS BIGINT) AS onion_core
+FROM ({union})
+"""

@@ -172,3 +172,52 @@ def test_kcore_one_job_per_round(spark):
     )
     assert len(lazy_ids) <= 2 * n_rounds + 4, (len(lazy_ids), n_rounds)
     g.unpersist()
+
+
+def test_onion_fixture_layers_and_core_equivalence(spark):
+    """K4 + pendant path: layer 1 strips the degree<=1 periphery (9, then
+    the chain unravels one per layer at threshold 1), the K4 peels last
+    as its own layer at core 3; onion_core must equal coreness everywhere
+    (Hébert-Dufresne et al., Theorem 1)."""
+    from linkgraph.operators import coreness, onion_decomposition
+
+    from tests.conftest import make_graph
+    import numpy as np
+
+    # K4 on 0-3; path 7-8-9 hanging off vertex 0; isolated vertex 10
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(0, 7), (7, 8), (8, 9)]
+    g = make_graph(spark, np.array(edges, dtype=np.int64), 11)
+    got = {r["id"]: (r["layer"], r["onion_core"]) for r in
+           onion_decomposition(g).collect()}
+    assert len(got) == 11
+    # isolated vertex and the chain tail peel in layer 1 at core 0/1
+    assert got[10] == (1, 0)  # min alive degree is 0 → threshold 0
+    # with threshold 0 only the isolated vertex leaves in layer 1;
+    # layer 2 raises to 1 and takes the chain tail 9, then 8, then 7
+    assert got[9] == (2, 1) and got[8] == (3, 1) and got[7] == (4, 1)
+    # vertices 1-3 hit degree 3 once the chain is gone; 0 still has deg 3
+    # (chain detached at layer 4) — whole K4 peels together at core 3
+    assert {got[v] for v in range(4)} == {(5, 3)}
+    core = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+    assert {v: oc for v, (_, oc) in got.items()} == core
+    g.unpersist()
+
+
+def test_onion_core_matches_coreness_on_random_graph(spark):
+    from linkgraph.operators import coreness, onion_decomposition
+
+    from tests.conftest import make_graph
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 150
+    edges = np.unique(rng.randint(0, n, size=(1100, 2)), axis=0)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = make_graph(spark, edges, n)
+    onion = {r["id"]: r["onion_core"] for r in onion_decomposition(g).collect()}
+    core = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+    assert onion == core
+    # layers partition the vertex set exactly once
+    assert len(onion) == n
+    g.unpersist()

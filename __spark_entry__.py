@@ -203,6 +203,12 @@ def _q_docs_token_stats(spark, sf_dir):
     return docs.token_stats(_docs(spark, sf_dir))
 
 
+def _q_vocab_stats(spark, sf_dir):
+    """Per-language corpus vocabulary profile (round 5): Heaps'-law
+    health check — total/distinct/hapax token counts and ratios."""
+    return docs.vocab_stats(_docs(spark, sf_dir))
+
+
 def _q_quality_filter(spark, sf_dir):
     """C4/Gopher-style heuristic quality gate (round 3) — the filter
     stage beside dedup in a training-data pipeline."""
@@ -1128,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa5": _q_salsa5,
         "eigcent10": _q_eigcent10,
         "onion": _q_onion,
+        "vocab_stats": _q_vocab_stats,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
@@ -1207,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "salsa5": osql.salsa_sql(5),
         "eigcent10": osql.eigenvector_sql(10),
         "onion": osql.onion_sql(rounds=60),
+        "vocab_stats": osql.vocab_stats_sql(),
         "cocitation": osql.cocitation_sql(top_k=50),
         "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),

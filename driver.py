@@ -74,6 +74,7 @@ DOC_ALGOS = (
     "dedup",
     "dedup_clusters",
     "token_stats",
+    "vocab_stats",
     "fingerprints",
     "language_id",
     "minhash_pairs",
@@ -447,6 +448,8 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         extra["dropped_buckets"] = spark.read.parquet(audit_path).count()
     elif args.algo == "token_stats":
         result = docmod.token_stats(documents)
+    elif args.algo == "vocab_stats":
+        result = docmod.vocab_stats(documents)
     elif args.algo == "quality_filter":
         result = docmod.quality_filter(documents)
     elif args.algo == "sample":

@@ -2003,3 +2003,45 @@ def quantile_buckets(
             .alias("bucket"),
         )
     )
+
+
+def vocab_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus vocabulary profile: (lang, n_docs,
+    total_tokens, distinct_types, hapax_types, type_token_ratio,
+    hapax_ratio) — the Heaps'-law health check of a training corpus
+    (vocabulary growth, hapax mass) that catches boilerplate floods
+    (TTR collapses) and OCR/encoding noise (hapax mass explodes).
+
+    Plan: one explode over the shared whitespace tokenizer → (lang,
+    term) count (map-side combinable — the hub guard: a 10¹²-token
+    corpus reaches the shuffle as one row per DISTINCT (lang, term)) →
+    an O(vocab)-row per-lang aggregate, joined to the O(langs) doc
+    counts. Ratios rounded to 6 dp; a language with no non-empty
+    tokens reports 0 counts and NULL ratios in both engines."""
+    terms = documents.select(
+        "lang", F.explode(F.expr(_TOKENIZE)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    per_lang = counts.groupBy("lang").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("distinct_types"),
+        F.count(F.when(F.col("c") == 1, True)).alias("hapax_types"),
+    )
+    n_docs = documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return n_docs.join(per_lang, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("total_tokens", F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce("distinct_types", F.lit(0)).cast("long").alias("distinct_types"),
+        F.coalesce("hapax_types", F.lit(0)).cast("long").alias("hapax_types"),
+        F.round(
+            F.col("distinct_types")
+            / F.nullif(F.col("total_tokens").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("type_token_ratio"),
+        F.round(
+            F.col("hapax_types")
+            / F.nullif(F.col("distinct_types").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("hapax_ratio"),
+    )

@@ -3423,3 +3423,36 @@ SELECT CAST(id AS BIGINT) AS id, CAST(layer AS BIGINT) AS layer,
        CAST(onion_core AS BIGINT) AS onion_core
 FROM ({union})
 """
+
+
+def vocab_stats_sql() -> str:
+    """DuckDB twin of docs.vocab_stats: the shared explicit-class
+    whitespace tokenizer, (lang, term) counts, per-lang vocabulary
+    aggregates with 6-dp ratios. SUM is cast back to BIGINT (DuckDB
+    widens BIGINT sums to HUGEINT; the engine column is long)."""
+    return """
+WITH toks AS (
+    SELECT lang,
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT lang, term, COUNT(*) AS c FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+per_lang AS (
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           COUNT(*) AS distinct_types,
+           COUNT(*) FILTER (c = 1) AS hapax_types
+    FROM counts GROUP BY lang
+),
+nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT nd.lang,
+       nd.n_docs,
+       COALESCE(p.total_tokens, 0) AS total_tokens,
+       COALESCE(p.distinct_types, 0) AS distinct_types,
+       COALESCE(p.hapax_types, 0) AS hapax_types,
+       ROUND(p.distinct_types / NULLIF(p.total_tokens * 1.0, 0.0), 6) AS type_token_ratio,
+       ROUND(p.hapax_types / NULLIF(p.distinct_types * 1.0, 0.0), 6) AS hapax_ratio
+FROM nd LEFT JOIN per_lang p ON nd.lang = p.lang
+"""

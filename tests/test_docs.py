@@ -1532,3 +1532,29 @@ def test_language_id_oracle_parity(spark, sf_dir="/root/testdata/sf0.001"):
         int(d): (g, s) for d, g, s in con.execute(language_id_sql()).fetchall()
     }
     assert got == want
+
+
+def test_vocab_stats_counts_and_ratios(spark):
+    from linkgraph.docs import vocab_stats
+
+    rows = [
+        (0, "a b b c", "en", "s", 7),
+        (1, "b c d", "en", "s", 5),
+        (2, "x y", "de", "s", 3),
+        (3, "", "fr", "s", 0),  # no tokens: zero counts, NULL ratios
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r["lang"]: r for r in vocab_stats(d).collect()}
+    en = got["en"]
+    # en: tokens a,b,b,c | b,c,d -> total 7, types {a,b,c,d}=4, hapax {a,d}=2
+    assert (en["n_docs"], en["total_tokens"], en["distinct_types"]) == (2, 7, 4)
+    assert en["hapax_types"] == 2
+    assert en["type_token_ratio"] == pytest.approx(round(4 / 7, 6))
+    assert en["hapax_ratio"] == pytest.approx(0.5)
+    de = got["de"]
+    assert (de["total_tokens"], de["distinct_types"], de["hapax_types"]) == (2, 2, 2)
+    fr = got["fr"]
+    assert (fr["n_docs"], fr["total_tokens"], fr["distinct_types"]) == (1, 0, 0)
+    assert fr["type_token_ratio"] is None and fr["hapax_ratio"] is None

@@ -209,6 +209,13 @@ def _q_vocab_stats(spark, sf_dir):
     return docs.vocab_stats(_docs(spark, sf_dir))
 
 
+def _q_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (round 5): fraction of a doc's distinct
+    8-gram shingles with corpus doc-frequency 1 — the inverse of the
+    near-dup signal, for boilerplate triage."""
+    return docs.ngram_novelty(_docs(spark, sf_dir), k=8)
+
+
 def _q_quality_filter(spark, sf_dir):
     """C4/Gopher-style heuristic quality gate (round 3) — the filter
     stage beside dedup in a training-data pipeline."""
@@ -1135,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigcent10": _q_eigcent10,
         "onion": _q_onion,
         "vocab_stats": _q_vocab_stats,
+        "novelty": _q_novelty,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
@@ -1215,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "eigcent10": osql.eigenvector_sql(10),
         "onion": osql.onion_sql(rounds=60),
         "vocab_stats": osql.vocab_stats_sql(),
+        "novelty": osql.ngram_novelty_sql(k=8),
         "cocitation": osql.cocitation_sql(top_k=50),
         "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),

@@ -75,6 +75,7 @@ DOC_ALGOS = (
     "dedup_clusters",
     "token_stats",
     "vocab_stats",
+    "novelty",
     "fingerprints",
     "language_id",
     "minhash_pairs",
@@ -450,6 +451,8 @@ def _run_doc_algo(spark: SparkSession, args) -> int:
         result = docmod.token_stats(documents)
     elif args.algo == "vocab_stats":
         result = docmod.vocab_stats(documents)
+    elif args.algo == "novelty":
+        result = docmod.ngram_novelty(documents, k=args.k)
     elif args.algo == "quality_filter":
         result = docmod.quality_filter(documents)
     elif args.algo == "sample":

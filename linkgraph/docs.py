@@ -2045,3 +2045,45 @@ def vocab_stats(documents: DataFrame) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+def ngram_novelty(documents: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, n_shingles, novel_frac) — per-document n-gram NOVELTY:
+    the fraction of a doc's distinct k-token shingles that appear in no
+    other document (corpus doc-frequency 1). The inverse signal of the
+    near-dup family: low novelty flags template/boilerplate mass that
+    survives exact dedup; high novelty marks content worth keeping (and,
+    at extremes, OCR noise — pair with vocab_stats).
+
+    Plan: the shared 60-bit shingle-hash set (one tokenize + md5 pass,
+    checkpointed at the fan-out), a map-side-combinable doc-frequency
+    count over hashes, and one hash-partitioned join back — all keyed on
+    8-byte hashes, never shingle strings. O(total distinct shingles)
+    rows end to end; no pair join anywhere (a 10⁶-doc boilerplate
+    shingle costs 10⁶ df rows, not 10¹² pairs — the despan lesson)."""
+    sh = shingle_hashes(documents, k=k).localCheckpoint(
+        eager=True
+    )  # fan-out: df count + per-doc agg
+    dfreq = sh.groupBy("x").agg(F.count("*").alias("df"))
+    per = (
+        sh.join(dfreq, "x")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, True)).alias("novel"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("novel") / F.col("n_shingles").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novel_frac"),
+        )
+    )

@@ -3456,3 +3456,23 @@ SELECT nd.lang,
        ROUND(p.hapax_types / NULLIF(p.distinct_types * 1.0, 0.0), 6) AS hapax_ratio
 FROM nd LEFT JOIN per_lang p ON nd.lang = p.lang
 """
+
+
+def ngram_novelty_sql(k: int = 8) -> str:
+    """DuckDB twin of docs.ngram_novelty: the shared distinct md5-60
+    shingle CTE, doc-frequency over hashes, per-doc novel fraction."""
+    return f"""
+WITH {_shingles_cte(k)},
+dfreq AS (SELECT x, COUNT(*) AS df FROM sh GROUP BY x),
+per AS (
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           COUNT(*) FILTER (d.df = 1) AS novel
+    FROM sh s JOIN dfreq d ON s.x = d.x GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       CASE WHEN p.n_shingles > 0
+            THEN ROUND(p.novel / (p.n_shingles * 1.0), 6)
+            ELSE 0.0 END AS novel_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""

@@ -1558,3 +1558,19 @@ def test_vocab_stats_counts_and_ratios(spark):
     fr = got["fr"]
     assert (fr["n_docs"], fr["total_tokens"], fr["distinct_types"]) == (1, 0, 0)
     assert fr["type_token_ratio"] is None and fr["hapax_ratio"] is None
+
+
+def test_ngram_novelty_planted_duplicates(docs_df, spark):
+    from linkgraph.docs import ngram_novelty
+
+    got = {r["doc_id"]: r for r in ngram_novelty(docs_df, k=5).collect()}
+    # docs 0 and 1 are byte-identical: every shingle has df >= 2
+    assert got[0]["novel_frac"] == 0.0 and got[1]["novel_frac"] == 0.0
+    assert got[0]["n_shingles"] > 0
+    # doc 3 shares no text with anyone: fully novel
+    assert got[3]["novel_frac"] == 1.0
+    # doc 2 differs from 0/1 by one token: only the k-gram window
+    # crossing the changed token is novel — strictly between 0 and 1
+    assert 0.0 < got[2]["novel_frac"] < 1.0
+    # doc 4 ("tiny", shorter than k): its single short-shingle is unique
+    assert got[4]["n_shingles"] == 1 and got[4]["novel_frac"] == 1.0

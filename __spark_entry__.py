@@ -452,6 +452,16 @@ def _q_coupling(spark, sf_dir):
     )
 
 
+def _q_landmarks4(spark, sf_dir):
+    """Landmark distance sketch (round 5, Potamias et al. 2009): one
+    multi-source BFS from the 4 highest-degree vertices (deterministic
+    degree-DESC/id-ASC pick), depth ≤ 8 — the per-vertex distance
+    vectors a web-scale point-to-point distance oracle stores."""
+    from linkgraph.operators import landmark_distances
+
+    return landmark_distances(_graph(spark, sf_dir), num_landmarks=4, max_depth=8)
+
+
 def _q_clustering_coeff(spark, sf_dir):
     """Per-vertex local clustering coefficient (round 4)."""
     from linkgraph.operators import local_clustering
@@ -1144,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "novelty": _q_novelty,
         "cocitation": _q_cocitation,
+        "landmarks4": _q_landmarks4,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
         "wcc_census": _q_wcc_census,
@@ -1225,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": osql.vocab_stats_sql(),
         "novelty": osql.ngram_novelty_sql(k=8),
         "cocitation": osql.cocitation_sql(top_k=50),
+        "landmarks4": osql.landmarks_sql(num_landmarks=4, max_depth=8),
         "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),
         "clustering_coeff": osql.clustering_coeff_sql(),

@@ -45,6 +45,7 @@ ALGOS = (
     "kcore",
     "coreness",
     "onion",
+    "landmarks",
     "ktruss",
     "mis",
     "matching",
@@ -299,6 +300,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import onion_decomposition
 
         result = onion_decomposition(g)
+    elif args.algo == "landmarks":
+        from linkgraph.operators import landmark_distances
+
+        result = landmark_distances(g, num_landmarks=8, max_depth=16)
     elif args.algo == "ktruss":
         from linkgraph.operators import k_truss
 

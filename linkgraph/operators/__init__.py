@@ -26,6 +26,11 @@ from linkgraph.operators.hits import eigenvector_centrality, hits, salsa
 from linkgraph.operators.katz import katz
 from linkgraph.operators.kcore import coreness, k_core, onion_decomposition
 from linkgraph.operators.labelprop import label_propagation
+from linkgraph.operators.landmarks import (
+    landmark_distance_estimate,
+    landmark_distances,
+    select_landmarks,
+)
 from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
 from linkgraph.operators.louvain import louvain_move
 from linkgraph.operators.matching import maximal_matching, maximal_weight_matching
@@ -67,6 +72,9 @@ __all__ = [
     "graph_coloring",
     "densest_subgraph",
     "multi_source_bfs",
+    "select_landmarks",
+    "landmark_distances",
+    "landmark_distance_estimate",
     "closeness_centrality",
     "harmonic_centrality",
     "neighborhood_function",

@@ -3476,3 +3476,27 @@ SELECT d.doc_id,
             ELSE 0.0 END AS novel_frac
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
+
+
+def landmarks_sql(num_landmarks: int = 4, max_depth: int = 8) -> str:
+    """DuckDB twin of operators/landmarks.py::landmark_distances — degree
+    TakeOrdered landmark pick (d DESC, id ASC), then the harmonic_sql
+    seed-dimensioned recursive walk from those seeds."""
+    return f"""
+WITH RECURSIVE {EDGES_SQL},
+deg AS (
+    SELECT v.id, COALESCE(o.c, 0) + COALESCE(i.c, 0) AS d
+    FROM vertices v
+    LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON v.id = o.src
+    LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON v.id = i.dst
+),
+lm AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT {num_landmarks}),
+walk(landmark, id, dist) AS (
+    SELECT id AS landmark, id, CAST(0 AS BIGINT) AS dist FROM lm
+    UNION
+    SELECT w.landmark, e.dst AS id, w.dist + 1 AS dist
+    FROM edges e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {max_depth}
+)
+SELECT landmark, id, MIN(dist) AS dist FROM walk GROUP BY landmark, id
+"""

@@ -462,6 +462,15 @@ def _q_landmarks4(spark, sf_dir):
     return landmark_distances(_graph(spark, sf_dir), num_landmarks=4, max_depth=8)
 
 
+def _q_powerlaw(spark, sf_dir):
+    """Power-law degree-tail MLE (round 5, Clauset-Shalizi-Newman eq.
+    3.7): one row (alpha, d_min, n_tail, d_max) over the undirected
+    distinct-neighbor degree distribution, d_min = 2."""
+    from linkgraph.operators import degree_powerlaw
+
+    return degree_powerlaw(_graph(spark, sf_dir), d_min=2)
+
+
 def _q_clustering_coeff(spark, sf_dir):
     """Per-vertex local clustering coefficient (round 4)."""
     from linkgraph.operators import local_clustering
@@ -1155,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": _q_novelty,
         "cocitation": _q_cocitation,
         "landmarks4": _q_landmarks4,
+        "powerlaw": _q_powerlaw,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
         "wcc_census": _q_wcc_census,
@@ -1237,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "novelty": osql.ngram_novelty_sql(k=8),
         "cocitation": osql.cocitation_sql(top_k=50),
         "landmarks4": osql.landmarks_sql(num_landmarks=4, max_depth=8),
+        "powerlaw": osql.powerlaw_sql(d_min=2),
         "coupling": osql.coupling_sql(top_k=50),
         "katz": osql.katz_sql(8),
         "clustering_coeff": osql.clustering_coeff_sql(),

@@ -46,6 +46,7 @@ ALGOS = (
     "coreness",
     "onion",
     "landmarks",
+    "powerlaw",
     "ktruss",
     "mis",
     "matching",
@@ -392,6 +393,10 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.operators import community_graph, label_propagation
 
         result = community_graph(g, label_propagation(g, iterations=args.iterations))
+    elif args.algo == "powerlaw":
+        from linkgraph.operators import degree_powerlaw
+
+        result = degree_powerlaw(g)
     elif args.algo == "rich_club":
         from linkgraph.operators import rich_club
 

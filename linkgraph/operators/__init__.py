@@ -45,6 +45,7 @@ from linkgraph.operators.stats import (
     community_graph,
     conductance,
     degree_assortativity,
+    degree_powerlaw,
     diameter_lower_bound,
     local_clustering,
     modularity,
@@ -75,6 +76,7 @@ __all__ = [
     "select_landmarks",
     "landmark_distances",
     "landmark_distance_estimate",
+    "degree_powerlaw",
     "closeness_centrality",
     "harmonic_centrality",
     "neighborhood_function",

@@ -3500,3 +3500,25 @@ walk(landmark, id, dist) AS (
 )
 SELECT landmark, id, MIN(dist) AS dist FROM walk GROUP BY landmark, id
 """
+
+
+def powerlaw_sql(d_min: int = 2) -> str:
+    """DuckDB twin of stats.degree_powerlaw — the canonical-undirected
+    distinct-neighbor degree CTE + the CSN continuous-MLE aggregate."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+    ) GROUP BY id HAVING COUNT(*) >= {d_min}
+)
+SELECT ROUND(1.0 + COUNT(*) / SUM(LN(d / ({d_min} - 0.5))), 6) AS alpha,
+       CAST({d_min} AS BIGINT) AS d_min,
+       COUNT(*) AS n_tail,
+       MAX(d) AS d_max
+FROM deg
+"""

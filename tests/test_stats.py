@@ -256,3 +256,30 @@ def test_rich_club_matches_numpy(spark):
         assert row["n_rich"] == nr
         assert row["rich_club"] == pytest.approx(want, abs=1e-9)
     g.unpersist()
+
+
+def test_degree_powerlaw_matches_numpy_mle(spark):
+    import numpy as np
+
+    from linkgraph.operators import degree_powerlaw
+    from tests.conftest import make_graph, zipf_edges
+
+    edges, n = zipf_edges(n=400, m=3000)
+    g = make_graph(spark, edges, n)
+    row = degree_powerlaw(g, d_min=3).collect()[0]
+    # distinct-neighbor undirected degree
+    nb = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        a, b = sorted((int(s), int(d)))
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    degs = np.array([len(v) for v in nb.values()])
+    tail = degs[degs >= 3]
+    alpha = 1.0 + len(tail) / np.log(tail / 2.5).sum()
+    assert row["alpha"] == pytest.approx(alpha, abs=1e-6)
+    assert row["n_tail"] == len(tail)
+    assert row["d_max"] == tail.max()
+    assert row["d_min"] == 3
+    g.unpersist()

@@ -984,6 +984,18 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_event_anomalies(spark, sf_dir):
+    """Count-spike anomaly detection over the events table (round 5) —
+    per-(type, hour) z-score against the type's own bucket distribution,
+    top-20 by |z|; avg-of-squares variance written identically in both
+    engines, round-before-rank order."""
+    from linkgraph import events
+
+    return events.anomalies(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), bucket="hour", top_k=20
+    )
+
+
 def _q_coloring(spark, sf_dir):
     """Deterministic random-palette coloring (round 5, Johansson rounds
     with md5-priority conflict retry — O(log V) rounds independent of
@@ -1167,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw": _q_powerlaw,
         "coupling": _q_coupling,
         "simhash": _q_simhash,
+        "event_anomalies": _q_event_anomalies,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
         "pagerank10_salted": _q_pagerank10_salted,
@@ -1314,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
             rates={"en": 0.5, "zh": 0.1, "de": 0.25}, default_rate=0.05
         ),
         "events_rollup": osql.events_rollup_sql(bucket="hour"),
+        "event_anomalies": osql.event_anomaly_sql(bucket="hour", top_k=20),
         "retention": osql.retention_sql(period="week"),
         "coloring": osql.coloring_sql(seed=42, rounds=12),
         "densest": osql.densest_sql(eps_num=1, eps_den=10, rounds=48),

@@ -271,3 +271,45 @@ def top_event_types(events: DataFrame, bucket: str = "hour", k: int = 3) -> Data
         .filter(F.col("rank") <= k)
         .select("bucket_us", "event_type", "n", "rank")
     )
+
+
+def anomalies(
+    events: DataFrame, bucket: str = "hour", top_k: int = 20
+) -> DataFrame:
+    """Count-spike detection — the monitoring query of an event pipeline:
+    z-score of each (event_type, time-bucket) event count against that
+    type's mean/std across its OBSERVED buckets (empty buckets are not
+    zero-filled; a type must vary to alarm), top ``top_k`` rows
+
+        (event_type, bucket_us, n_events, z)
+
+    by |z| (rounded to 6 dp BEFORE ranking — the engine-stable order),
+    ties by (event_type, bucket_us). Variance is the explicit
+    avg-of-squares form ``avg(n²) − avg(n)²`` — written identically in
+    the DuckDB twin so both engines run the same IEEE expression on the
+    same exact integer sums. Plan: one partial-aggregated groupBy for
+    the counts, one tiny per-type aggregate broadcast back, TakeOrdered
+    top-k — no window over the full count table."""
+    counts = events.groupBy(
+        _ntz_micros(F.date_trunc(bucket, F.col("ts"))).alias("bucket_us"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n_events").alias("mu"),
+        F.avg(F.col("n_events") * F.col("n_events")).alias("msq"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.sqrt(
+        F.col("msq") - F.col("mu") * F.col("mu")
+    )
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .filter(F.col("msq") - F.col("mu") * F.col("mu") > 0)
+        .select(
+            "event_type",
+            "bucket_us",
+            "n_events",
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "event_type", "bucket_us")
+        .limit(top_k)
+    )

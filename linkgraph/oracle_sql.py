@@ -3522,3 +3522,27 @@ SELECT ROUND(1.0 + COUNT(*) / SUM(LN(d / ({d_min} - 0.5))), 6) AS alpha,
        MAX(d) AS d_max
 FROM deg
 """
+
+
+def event_anomaly_sql(bucket: str = "hour", top_k: int = 20) -> str:
+    """DuckDB twin of events.anomalies — identical avg-of-squares
+    variance expression, round-before-rank |z| order."""
+    return f"""
+WITH counts AS (
+    SELECT event_type, epoch_us(date_trunc('{bucket}', ts)) AS bucket_us,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, AVG(n_events) AS mu,
+           AVG(n_events * n_events) AS msq
+    FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bucket_us, c.n_events,
+       ROUND((c.n_events - s.mu) / SQRT(s.msq - s.mu * s.mu), 6) AS z
+FROM counts c JOIN stats s ON c.event_type = s.event_type
+WHERE s.msq - s.mu * s.mu > 0
+ORDER BY ABS(ROUND((c.n_events - s.mu) / SQRT(s.msq - s.mu * s.mu), 6)) DESC,
+         c.event_type, c.bucket_us
+LIMIT {top_k}
+"""

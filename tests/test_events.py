@@ -273,3 +273,42 @@ def test_top_event_types_rank_and_ties(spark):
     assert got[(h0, 3)] == ("buy", 1)      # buy < nav breaks the 1-1 tie
     assert got[(h1, 1)] == ("view", 1)
     assert len(got) == 4                   # k caps bucket 0 at 3 rows
+
+
+def test_anomalies_zscore_and_filtering(spark):
+    # type "a": counts per hour (3, 1, 1, 1) -> mu=1.5, var=.75; the
+    # 3-count bucket is the spike. type "b": constant count 2 in both
+    # observed buckets -> zero variance -> filtered out entirely.
+    rows = []
+    eid = 0
+    for h, n in enumerate([3, 1, 1, 1]):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-01 0{h}:0{i}:00", 1, "a", 1.0))
+    for h in (0, 1):
+        for i in range(2):
+            eid += 1
+            rows.append((eid, f"2024-01-01 0{h}:1{i}:00", 2, "b", 1.0))
+    got = ev.anomalies(_events_df(spark, rows), bucket="hour", top_k=20).collect()
+    assert all(r["event_type"] == "a" for r in got)  # b: zero variance
+    assert len(got) == 4
+    top = got[0]
+    h0 = 1704067200000000  # 2024-01-01T00:00 epoch micros
+    assert (top["bucket_us"], top["n_events"]) == (h0, 3)
+    # z = (3 - 1.5) / sqrt(0.75)
+    assert top["z"] == pytest.approx(1.732051, abs=1e-6)
+    # the three 1-count buckets tie on |z|; order falls back to bucket_us
+    assert [r["bucket_us"] for r in got[1:]] == [
+        h0 + 3600 * 1_000_000 * k for k in (1, 2, 3)
+    ]
+
+
+def test_anomalies_top_k_caps_rows(spark):
+    rows = []
+    eid = 0
+    for h in range(5):
+        for i in range(h + 1):  # strictly growing counts -> distinct |z|
+            eid += 1
+            rows.append((eid, f"2024-01-01 0{h}:{i:02d}:00", 1, "a", 1.0))
+    got = ev.anomalies(_events_df(spark, rows), bucket="hour", top_k=2).collect()
+    assert len(got) == 2

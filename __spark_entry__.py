@@ -1085,7 +1085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness8": _q_betweenness8,
         "mis": _q_mis,
         "matching": _q_matching,
-        "matching_weighted": _q_matching_weighted,
         "msf": _q_msf,
         "featprop": _q_featprop,
         "coloring": _q_coloring,
@@ -1116,7 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         # ---------------- 50-query window boundary ----------------
         # variants below share an oracle/machinery with an in-window parent
-        # (coreness ≡ kcore5 peel, jaccard_pairs ≡ adamic_adar wedge join,
+        # (matching_weighted rides matching's Israeli-Itai alive-set loop,
+        # coreness ≡ kcore5 peel, jaccard_pairs ≡ adamic_adar wedge join,
         # mean_distance ≡ neighborhood6 MS-BFS, simhash rides the in-window
         # near-dup family, ivf_knn shares lsh_knn's ANN serving surface —
         # its distinct index machinery is separately exercised by
@@ -1131,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # loop, shape shared with hits5/pagerank10) and retention (events
         # surface shared with sessionize) yielded their window slots to the
         # round-5 louvain and bowtie kernels, whose machinery is novel.
+        "matching_weighted": _q_matching_weighted,
         "katz": _q_katz,
         "retention": _q_retention,
         "assortativity": _q_assortativity,

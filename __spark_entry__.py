@@ -984,6 +984,15 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_spam_mass(spark, sf_dir):
+    """Relative spam mass (round 5, Gyöngyi et al. VLDB 2006) — global
+    PageRank vs TrustRank from seeds 0-3, both 10-round unrolls over the
+    one persisted adjacency; (pr − trust)/pr at 6 dp."""
+    from linkgraph.operators.pagerank import spam_mass
+
+    return spam_mass(_graph(spark, sf_dir), trusted=[0, 1, 2, 3], iterations=10)
+
+
 def _q_event_anomalies(spark, sf_dir):
     """Count-spike anomaly detection over the events table (round 5) —
     per-(type, hour) z-score against the type's own bucket distribution,
@@ -1181,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling": _q_coupling,
         "simhash": _q_simhash,
         "event_anomalies": _q_event_anomalies,
+        "spam_mass": _q_spam_mass,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
         "pagerank10_salted": _q_pagerank10_salted,
@@ -1329,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rollup": osql.events_rollup_sql(bucket="hour"),
         "event_anomalies": osql.event_anomaly_sql(bucket="hour", top_k=20),
+        "spam_mass": osql.spam_mass_sql(trusted=[0, 1, 2, 3], iterations=10),
         "retention": osql.retention_sql(period="week"),
         "coloring": osql.coloring_sql(seed=42, rounds=12),
         "densest": osql.densest_sql(eps_num=1, eps_den=10, rounds=48),

@@ -332,3 +332,50 @@ def weighted_pagerank(
         )
         ranks = checkpoint(ranks, it)
     return ranks
+
+
+def spam_mass(
+    graph: Graph,
+    trusted: "list[int]",
+    iterations: int = 10,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2006):
+    the fraction of a vertex's PageRank NOT attributable to a trusted
+    seed set,
+
+        spam_mass[v] = (PR[v] − TR[v]) / PR[v]
+
+    where TR is the TrustRank vector — the personalized_pagerank run
+    whose teleport mass (0.15 total, the same total as global PR's
+    N·0.15/N) is concentrated on ``trusted``. High spam_mass ⇒ the
+    vertex's rank flows in from outside the trust neighborhood — the
+    classic link-spam signal on web/repo link graphs. Not in the
+    reference binary set (pagerank_simple.c is its PR recurrence);
+    the standard link-graph extension.
+
+    Plan: both power loops share the one persisted normalized adjacency
+    (graph.out_normalized_edges is cached on the Graph), so the second
+    loop adds no new scan or shuffle layout; the final combine is a
+    single id-co-partitioned join. Returns (id, pr, trust, spam_mass)
+    rounded at 6 dp — identical IEEE expression order in the DuckDB twin
+    (oracle_sql.spam_mass_sql). Seeds may hold MORE rank than their
+    global PR (teleport concentration) ⇒ negative spam_mass; kept, not
+    clamped, in both engines.
+    """
+    pr = pagerank(graph, iterations=iterations, checkpointer=checkpointer)
+    tr = personalized_pagerank(
+        graph, trusted, iterations=iterations, checkpointer=checkpointer
+    )
+    return (
+        pr.select("id", F.col("rank").alias("_pr"))
+        .join(tr.select("id", F.col("rank").alias("_tr")), "id")
+        .select(
+            "id",
+            F.round("_pr", 6).alias("pr"),
+            F.round("_tr", 6).alias("trust"),
+            F.round(
+                (F.col("_pr") - F.col("_tr")) / F.col("_pr"), 6
+            ).alias("spam_mass"),
+        )
+    )

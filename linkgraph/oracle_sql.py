@@ -3546,3 +3546,51 @@ ORDER BY ABS(ROUND((c.n_events - s.mu) / SQRT(s.msq - s.mu * s.mu), 6)) DESC,
          c.event_type, c.bucket_us
 LIMIT {top_k}
 """
+
+
+def spam_mass_sql(trusted: "list[int]", iterations: int = 10) -> str:
+    """DuckDB twin of operators.spam_mass: the pagerank_sql unroll and the
+    personalized_pagerank_sql unroll over one shared deg/ne, combined as
+    ROUND((pr − tr)/pr, 6) — identical IEEE expression order to Spark."""
+    srcs = sorted({int(s) for s in trusted})
+    b = repr(0.15 / len(srcs))
+    in_list = ", ".join(str(s) for s in srcs)
+    g_rounds, t_rounds = [], []
+    for k in range(1, iterations + 1):
+        g_rounds.append(
+            f"""g{k} AS (
+    SELECT v.id, {_TELEPORT} + 0.85 * COALESCE(m.mass, 0.0) AS pr
+    FROM vertices v
+    LEFT JOIN (
+        SELECT ne.dst AS id, SUM(r.pr * ne.w) AS mass
+        FROM ne JOIN g{k - 1} r ON ne.src = r.id GROUP BY ne.dst
+    ) m ON v.id = m.id
+)"""
+        )
+        t_rounds.append(
+            f"""t{k} AS (
+    SELECT v.id, v.base, v.base + 0.85 * COALESCE(m.mass, 0.0) AS pr
+    FROM tbase v
+    LEFT JOIN (
+        SELECT ne.dst AS id, SUM(r.pr * ne.w) AS mass
+        FROM ne JOIN t{k - 1} r ON ne.src = r.id GROUP BY ne.dst
+    ) m ON v.id = m.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+deg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, 1.0 / d.od AS w FROM edges e JOIN deg d ON e.src = d.src),
+g0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM vertices),
+tbase AS (
+    SELECT id, CASE WHEN id IN ({in_list}) THEN CAST({b} AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS base
+    FROM vertices
+),
+t0 AS (SELECT id, base, base AS pr FROM tbase),
+{",".join(g_rounds)},
+{",".join(t_rounds)}
+SELECT g.id, ROUND(g.pr, 6) AS pr, ROUND(t.pr, 6) AS trust,
+       ROUND((g.pr - t.pr) / g.pr, 6) AS spam_mass
+FROM g{iterations} g JOIN t{iterations} t ON g.id = t.id
+"""

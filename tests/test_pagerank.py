@@ -152,3 +152,30 @@ def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
         assert got_w[i] == pytest.approx(got_u[i], rel=1e-12)
     g.unpersist()
     gu.unpersist()
+
+
+def test_spam_mass_separates_farm_from_trust_neighborhood(spark):
+    """Planted spam farm: a 3-clique (5,6,7) linking only to itself holds
+    rank unreachable from the trusted seed, so its relative spam mass ~1;
+    the trusted seed's own neighborhood scores far lower."""
+    from linkgraph.operators.pagerank import spam_mass
+
+    # trusted hub 0 -> 1,2; 1,2 -> 0 (good core). farm: 5<->6<->7<->5.
+    # 4 bridges good-core rank outward but gets none from the farm.
+    edges = np.array(
+        [(0, 1), (0, 2), (1, 0), (2, 0), (0, 4), (4, 3),
+         (5, 6), (6, 7), (7, 5)],
+        dtype=np.int64,
+    )
+    g = make_graph(spark, edges, 8)
+    rows = {r["id"]: r for r in spam_mass(g, trusted=[0], iterations=20).collect()}
+    assert set(rows) == set(range(8))
+    for v in (5, 6, 7):  # no trust flows into the farm
+        assert rows[v]["trust"] == 0.0
+        assert rows[v]["spam_mass"] == pytest.approx(1.0)
+    # vertices fed by the seed keep most of their rank trusted
+    assert rows[1]["spam_mass"] < 0.35
+    assert rows[4]["spam_mass"] < 0.35
+    # the seed itself holds concentrated teleport: negative mass, kept
+    assert rows[0]["spam_mass"] < 0.0
+    g.unpersist()

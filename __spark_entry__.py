@@ -993,6 +993,15 @@ def _q_spam_mass(spark, sf_dir):
     return spam_mass(_graph(spark, sf_dir), trusted=[0, 1, 2, 3], iterations=10)
 
 
+def _q_ppr_sweep(spark, sf_dir):
+    """ACL PPR sweep cut from seed 0 (round 5) — degree-normalized PPR
+    order, prefix conductance profile over the top-64 frame; the
+    crossing histograms come from ONE broadcast-joined edge scan."""
+    from linkgraph.operators.localcluster import ppr_sweep
+
+    return ppr_sweep(_graph(spark, sf_dir), source=0, iterations=10, k=64)
+
+
 def _q_event_anomalies(spark, sf_dir):
     """Count-spike anomaly detection over the events table (round 5) —
     per-(type, hour) z-score against the type's own bucket distribution,
@@ -1191,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "event_anomalies": _q_event_anomalies,
         "spam_mass": _q_spam_mass,
+        "ppr_sweep": _q_ppr_sweep,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
         "pagerank10_salted": _q_pagerank10_salted,
@@ -1340,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": osql.events_rollup_sql(bucket="hour"),
         "event_anomalies": osql.event_anomaly_sql(bucket="hour", top_k=20),
         "spam_mass": osql.spam_mass_sql(trusted=[0, 1, 2, 3], iterations=10),
+        "ppr_sweep": osql.ppr_sweep_sql(source=0, iterations=10, k=64),
         "retention": osql.retention_sql(period="week"),
         "coloring": osql.coloring_sql(seed=42, rounds=12),
         "densest": osql.densest_sql(eps_num=1, eps_den=10, rounds=48),

@@ -3594,3 +3594,82 @@ SELECT g.id, ROUND(g.pr, 6) AS pr, ROUND(t.pr, 6) AS trust,
        ROUND((g.pr - t.pr) / g.pr, 6) AS spam_mass
 FROM g{iterations} g JOIN t{iterations} t ON g.id = t.id
 """
+
+
+def ppr_sweep_sql(source: int, iterations: int = 10, k: int = 64) -> str:
+    """DuckDB twin of operators.localcluster.ppr_sweep: the single-source
+    personalized_pagerank_sql unroll, ROUND(pr/deg, 9) sweep order, the
+    same min/max-position crossing histograms and prefix cumulative
+    sums, phi rounded at 6 dp."""
+    far = k + 1
+    rounds = []
+    for r in range(1, iterations + 1):
+        rounds.append(
+            f"""t{r} AS (
+    SELECT v.id, v.base, v.base + 0.85 * COALESCE(m.mass, 0.0) AS pr
+    FROM tbase v
+    LEFT JOIN (
+        SELECT ne.dst AS id, SUM(r.pr * ne.w) AS mass
+        FROM ne JOIN t{r - 1} r ON ne.src = r.id GROUP BY ne.dst
+    ) m ON v.id = m.id
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+odeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+ne AS (SELECT e.src, e.dst, 1.0 / d.od AS w
+       FROM edges e JOIN odeg d ON e.src = d.src),
+tbase AS (
+    SELECT id, CASE WHEN id = {int(source)} THEN CAST(0.15 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS base
+    FROM vertices
+),
+t0 AS (SELECT id, base, base AS pr FROM tbase),
+{",".join(rounds)},
+canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+    ) GROUP BY id
+),
+mm AS (SELECT COUNT(*) AS m FROM canon),
+keyed AS (
+    SELECT p.id, g.d, ROUND(p.pr / g.d, 9) AS key
+    FROM t{iterations} p JOIN deg g ON p.id = g.id
+    WHERE p.pr > 0
+),
+topk AS MATERIALIZED (
+    SELECT id, d, pos FROM (
+        SELECT id, d, ROW_NUMBER() OVER (ORDER BY key DESC, id) AS pos
+        FROM keyed
+    ) WHERE pos <= {k}
+),
+xing AS (
+    SELECT LEAST(COALESCE(pa.pos, {far}), COALESCE(pb.pos, {far})) AS pmin,
+           GREATEST(COALESCE(pa.pos, {far}), COALESCE(pb.pos, {far})) AS pmax
+    FROM canon c
+    LEFT JOIN topk pa ON c.a = pa.id
+    LEFT JOIN topk pb ON c.b = pb.id
+),
+hmin AS (SELECT pmin AS pos, COUNT(*) AS n_min FROM xing
+         WHERE pmin <= {k} GROUP BY 1),
+hmax AS (SELECT pmax AS pos, COUNT(*) AS n_max FROM xing
+         WHERE pmax <= {k} GROUP BY 1),
+sweep AS (
+    SELECT t.pos, t.id,
+           SUM(COALESCE(h1.n_min, 0)) OVER (ORDER BY t.pos)
+             - SUM(COALESCE(h2.n_max, 0)) OVER (ORDER BY t.pos) AS cut,
+           SUM(t.d) OVER (ORDER BY t.pos) AS vol
+    FROM topk t
+    LEFT JOIN hmin h1 ON t.pos = h1.pos
+    LEFT JOIN hmax h2 ON t.pos = h2.pos
+)
+SELECT s.pos, s.id, CAST(s.cut AS BIGINT) AS cut, CAST(s.vol AS BIGINT) AS vol,
+       CASE WHEN LEAST(s.vol, 2 * mm.m - s.vol) > 0
+            THEN ROUND(s.cut / CAST(LEAST(s.vol, 2 * mm.m - s.vol) AS DOUBLE), 6)
+            ELSE 0.0 END AS phi
+FROM sweep s CROSS JOIN mm
+"""

@@ -1002,6 +1002,19 @@ def _q_ppr_sweep(spark, sf_dir):
     return ppr_sweep(_graph(spark, sf_dir), source=0, iterations=10, k=64)
 
 
+def _q_active_users(spark, sf_dir):
+    """Hourly actives + exact trailing-24h rolling actives (round 5) —
+    dedup-to-pairs then a broadcast grid interval join; the rolling
+    distinct never windows over raw events."""
+    from linkgraph import events
+
+    return events.active_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        bucket="hour",
+        window_buckets=24,
+    )
+
+
 def _q_event_anomalies(spark, sf_dir):
     """Count-spike anomaly detection over the events table (round 5) —
     per-(type, hour) z-score against the type's own bucket distribution,
@@ -1201,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": _q_event_anomalies,
         "spam_mass": _q_spam_mass,
         "ppr_sweep": _q_ppr_sweep,
+        "active_users": _q_active_users,
         "wcc_census": _q_wcc_census,
         "wcc_large_small_star": _q_wcc_large_small_star,
         "pagerank10_salted": _q_pagerank10_salted,
@@ -1351,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "event_anomalies": osql.event_anomaly_sql(bucket="hour", top_k=20),
         "spam_mass": osql.spam_mass_sql(trusted=[0, 1, 2, 3], iterations=10),
         "ppr_sweep": osql.ppr_sweep_sql(source=0, iterations=10, k=64),
+        "active_users": osql.active_users_sql(bucket="hour", window_buckets=24),
         "retention": osql.retention_sql(period="week"),
         "coloring": osql.coloring_sql(seed=42, rounds=12),
         "densest": osql.densest_sql(eps_num=1, eps_den=10, rounds=48),

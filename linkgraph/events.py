@@ -313,3 +313,59 @@ def anomalies(
         .orderBy(F.abs(F.col("z")).desc(), "event_type", "bucket_us")
         .limit(top_k)
     )
+
+
+def active_users(
+    events: DataFrame, bucket: str = "hour", window_buckets: int = 24
+) -> DataFrame:
+    """Per-bucket active users plus the EXACT trailing rolling distinct
+    (e.g. hourly DAU + trailing-24h actives):
+
+        (bucket_us, n_active, n_active_rolling)
+
+    A rolling COUNT(DISTINCT) does not decompose over per-bucket counts
+    (the same user in 5 buckets is one rolling active), so the plan
+    dedups to (user_id, bucket) pairs once, then interval-joins that
+    pair set against the OBSERVED bucket grid (a broadcast of at most
+    |grid| rows — time buckets, not data) and re-aggregates distinct
+    users per grid point. Cost = |pairs| × (windows each pair lands in,
+    ≤ window_buckets) partial-aggregated rows — linear in data with a
+    small constant, no per-user state, no window over raw events. At
+    100 TB swap the exact distinct for approx_count_distinct (noted,
+    not defaulted, so the DuckDB twin matches exactly). Grid points
+    whose trailing window has no observed earlier bucket still report
+    their own actives (the join matches the point itself)."""
+    us_per_bucket = 0
+    for unit, width in (
+        ("hour", 3600 * 1_000_000),
+        ("day", 86400 * 1_000_000),
+        ("minute", 60 * 1_000_000),
+        ("week", 7 * 86400 * 1_000_000),
+    ):
+        if bucket == unit:
+            us_per_bucket = width
+            break
+    if not us_per_bucket:
+        raise ValueError(f"active_users: unsupported bucket {bucket!r}")
+    pairs = events.select(
+        "user_id",
+        _ntz_micros(F.date_trunc(bucket, F.col("ts"))).alias("bucket_us"),
+    ).dropDuplicates(["user_id", "bucket_us"])
+    grid = pairs.select("bucket_us").distinct()
+    span = F.lit(int(window_buckets) * us_per_bucket)
+    rolling = (
+        pairs.alias("p")
+        .join(
+            F.broadcast(grid.select(F.col("bucket_us").alias("g_us"))),
+            (F.col("p.bucket_us") <= F.col("g_us"))
+            & (F.col("p.bucket_us") > F.col("g_us") - span),
+        )
+        .groupBy("g_us")
+        .agg(F.countDistinct("user_id").alias("n_active_rolling"))
+    )
+    per_bucket = pairs.groupBy("bucket_us").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return per_bucket.join(
+        rolling, per_bucket["bucket_us"] == rolling["g_us"]
+    ).select("bucket_us", "n_active", "n_active_rolling")

@@ -3673,3 +3673,35 @@ SELECT s.pos, s.id, CAST(s.cut AS BIGINT) AS cut, CAST(s.vol AS BIGINT) AS vol,
             ELSE 0.0 END AS phi
 FROM sweep s CROSS JOIN mm
 """
+
+
+def active_users_sql(bucket: str = "hour", window_buckets: int = 24) -> str:
+    """DuckDB twin of events.active_users — same dedup-to-pairs,
+    grid-interval-join, exact distinct re-aggregate."""
+    width = {
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+        "week": 7 * 86400,
+    }[bucket] * 1_000_000
+    span = int(window_buckets) * width
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT user_id,
+           epoch_us(date_trunc('{bucket}', ts)) AS bucket_us
+    FROM events
+),
+grid AS (SELECT DISTINCT bucket_us AS g_us FROM pairs),
+rolling AS (
+    SELECT g.g_us, COUNT(DISTINCT p.user_id) AS n_active_rolling
+    FROM pairs p JOIN grid g
+      ON p.bucket_us <= g.g_us AND p.bucket_us > g.g_us - {span}
+    GROUP BY g.g_us
+),
+per_bucket AS (
+    SELECT bucket_us, COUNT(DISTINCT user_id) AS n_active
+    FROM pairs GROUP BY bucket_us
+)
+SELECT b.bucket_us, b.n_active, r.n_active_rolling
+FROM per_bucket b JOIN rolling r ON b.bucket_us = r.g_us
+"""

@@ -312,3 +312,37 @@ def test_anomalies_top_k_caps_rows(spark):
             rows.append((eid, f"2024-01-01 0{h}:{i:02d}:00", 1, "a", 1.0))
     got = ev.anomalies(_events_df(spark, rows), bucket="hour", top_k=2).collect()
     assert len(got) == 2
+
+
+def test_active_users_rolling_exact_distinct(spark):
+    # hour 0: users {1,2}; hour 1: users {1}; hour 3: users {3}
+    # rolling window = 2 buckets (current + previous)
+    df = _events_df(
+        spark,
+        [
+            (1, "2024-01-01 00:05:00", 1, "view", 1.0),
+            (2, "2024-01-01 00:06:00", 1, "view", 1.0),  # dup user-bucket
+            (3, "2024-01-01 00:07:00", 2, "view", 1.0),
+            (4, "2024-01-01 01:10:00", 1, "click", 1.0),
+            (5, "2024-01-01 03:00:00", 3, "view", 1.0),
+        ],
+    )
+    got = {
+        r["bucket_us"]: (r["n_active"], r["n_active_rolling"])
+        for r in ev.active_users(df, bucket="hour", window_buckets=2).collect()
+    }
+    h0 = 1704067200000000
+    hr = 3600 * 1_000_000
+    # hour 0: {1,2}; rolling(h0) = {1,2}
+    assert got[h0] == (2, 2)
+    # hour 1: {1}; rolling covers hours 0-1 = {1,2}
+    assert got[h0 + hr] == (1, 2)
+    # hour 3: {3}; rolling covers hours 2-3, hour 2 unobserved = {3}
+    assert got[h0 + 3 * hr] == (1, 1)
+    assert len(got) == 3  # only observed buckets appear
+
+
+def test_active_users_rejects_unknown_bucket(spark):
+    df = _events_df(spark, [(1, "2024-01-01 00:00:00", 1, "view", 1.0)])
+    with pytest.raises(ValueError):
+        ev.active_users(df, bucket="fortnight")

@@ -70,6 +70,8 @@ ALGOS = (
     "community_graph",
     "rich_club",
     "ego_network",
+    "spam_mass",
+    "ppr_sweep",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -98,7 +100,10 @@ DOC_ALGOS = (
     "quality_clf",
 )
 # event-stream analytics over an events table (--events input)
-EVENT_ALGOS = ("sessionize", "rollup", "funnel", "retention", "transitions")
+EVENT_ALGOS = (
+    "sessionize", "rollup", "funnel", "retention", "transitions",
+    "anomalies", "active_users",
+)
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
@@ -191,7 +196,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--tol", type=float, default=None, help="PageRank convergence threshold")
-    p.add_argument("--root-vertex", type=int, default=0, help="BFS/SSSP root")
+    p.add_argument("--root-vertex", type=int, default=0,
+                   help="BFS/SSSP root; ppr_sweep seed; ego_network seed")
+    p.add_argument("--trusted", default="0,1,2,3",
+                   help="--algo spam_mass trusted seed ids (comma-separated)")
+    p.add_argument("--sweep-k", type=int, default=64,
+                   help="--algo ppr_sweep prefix frame size")
+    p.add_argument("--window-buckets", type=int, default=24,
+                   help="--algo active_users trailing window size")
+    p.add_argument("--anomaly-top-k", type=int, default=20,
+                   help="--algo anomalies rows kept by |z|")
     p.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--num-vertices", type=int, default=None)
@@ -407,6 +421,18 @@ def main(argv: list[str] | None = None) -> int:
         result = ego_network(
             g, seeds=[args.root_vertex], hops=args.walk_length
         )
+    elif args.algo == "spam_mass":
+        from linkgraph.operators.pagerank import spam_mass
+
+        trusted = [int(s) for s in args.trusted.split(",") if s.strip()]
+        result = spam_mass(g, trusted=trusted, iterations=args.iterations)
+    elif args.algo == "ppr_sweep":
+        from linkgraph.operators.localcluster import ppr_sweep
+
+        result = ppr_sweep(
+            g, source=args.root_vertex, iterations=args.iterations,
+            k=args.sweep_k,
+        )
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 
@@ -552,6 +578,14 @@ def _run_event_algo(spark: SparkSession, args) -> int:
         result = evmod.retention(events, period=args.period)
     elif args.algo == "transitions":
         result = evmod.transitions(events)
+    elif args.algo == "anomalies":
+        result = evmod.anomalies(
+            events, bucket=args.bucket, top_k=args.anomaly_top_k
+        )
+    elif args.algo == "active_users":
+        result = evmod.active_users(
+            events, bucket=args.bucket, window_buckets=args.window_buckets
+        )
     else:
         steps = [s.strip() for s in args.steps.split(",") if s.strip()]
         within = args.within_seconds if args.within_seconds > 0 else None

@@ -477,6 +477,38 @@ def main() -> None:
         .collect(),
         repeats=3,
     )
+    timed(
+        "event_anomalies",
+        lambda: _ev.anomalies(events_df).agg(F.sum("z")).collect(),
+        repeats=3,
+    )
+    timed(
+        "active_users",
+        lambda: _ev.active_users(events_df)
+        .agg(F.sum("n_active_rolling"))
+        .collect(),
+        repeats=3,
+    )
+    # round 5 (final session): PageRank-composition kernels — spam mass
+    # (global PR + TrustRank PPR over the one persisted adjacency) and
+    # the ACL sweep cut (PPR + one broadcast-joined edge scan)
+    from linkgraph.operators.localcluster import ppr_sweep as _sweep
+    from linkgraph.operators.pagerank import spam_mass as _spam
+
+    timed(
+        "spam_mass",
+        lambda: _spam(g, trusted=[0, 1, 2, 3], iterations=10)
+        .agg(F.sum("spam_mass"))
+        .collect(),
+        repeats=3,
+    )
+    timed(
+        "ppr_sweep",
+        lambda: _sweep(g, source=0, iterations=10, k=64)
+        .agg(F.min("phi"))
+        .collect(),
+        repeats=3,
+    )
 
     def drop_all_cached():
         """Free every cached DataFrame and persistent RDD before the next

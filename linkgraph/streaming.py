@@ -206,3 +206,37 @@ def stream_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_active_users(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """EXACT active users per tumbling window on a stream — the streaming
+    twin of events.active_users' per-bucket leg, built the same way:
+    dedup to (user_id, window) pairs first, then count.
+
+    The watermarked dropDuplicates holds one state row per distinct
+    (user, window) pair inside the horizon — bounded by actives ×
+    windows-in-horizon, NOT by event volume; the downstream count is an
+    ordinary windowed aggregate. Swap in approx_count_distinct (one
+    aggregate, no dedup state) when the active set itself is too large
+    to key state by — noted, not defaulted, so batch-vs-stream parity
+    stays exact. Returns the streaming DataFrame (window, n_active);
+    callers attach a sink + trigger.
+    """
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    pairs = (
+        src.withWatermark("ts", watermark)
+        .select("ts", "user_id", F.window("ts", window).alias("window"))
+        .dropDuplicates(["user_id", "window"])
+    )
+    return pairs.groupBy("window").agg(
+        F.count("*").alias("n_active")
+    )

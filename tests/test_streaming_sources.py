@@ -269,3 +269,38 @@ def test_stream_sessionize_old_late_event_forms_own_session(spark, tmp_path):
     assert len(u1) == 2
     assert u1[0] == (t0 - dt.timedelta(hours=6), t0 - dt.timedelta(hours=6), 1)
     assert u1[1] == (t0, t0, 1)
+
+
+def test_stream_active_users_matches_batch_pairs(spark, tmp_path):
+    from linkgraph.streaming import stream_active_users
+
+    events_dir = str(tmp_path / "events_au")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(
+        events_dir
+    )
+    out_dir = str(tmp_path / "out_au")
+    ck = str(tmp_path / "ck_au")
+    agg = stream_active_users(spark, events_dir, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    events = spark.read.parquet(events_dir)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # batch oracle: exact distinct users per finalized window
+    want = (
+        events.select(F.window("ts", "1 hour").alias("window"), "user_id")
+        .distinct()
+        .groupBy("window")
+        .agg(F.count("*").alias("n_active"))
+        .filter(F.col("window.end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    g = {str(r["window"]): r["n_active"] for r in got.collect()}
+    w = {str(r["window"]): r["n_active"] for r in want.collect()}
+    assert g == w and len(g) > 0

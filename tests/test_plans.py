@@ -184,3 +184,28 @@ def test_featprop_avg_is_partially_aggregated(spark):
     )
     plan = _plan(out)
     assert "partial_avg" in plan, plan
+
+
+def test_ppr_sweep_edge_scan_broadcasts_position_map(spark):
+    """The sweep's crossing histograms must come from broadcast joins of
+    the tiny top-k position map against the edge scan — a shuffle join
+    there would re-exchange the full edge set twice per sweep."""
+    from linkgraph.operators.localcluster import ppr_sweep
+    from linkgraph.derive import link_graph
+
+    g = link_graph(spark, SF)
+    plan = _plan(ppr_sweep(g, source=0, iterations=2, k=16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_active_users_grid_join_broadcasts(spark):
+    """The rolling-distinct interval join must broadcast the bucket GRID
+    (time buckets, not data); a shuffle range join against raw pairs is
+    the unbounded version this plan exists to avoid."""
+    from linkgraph import events
+
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(events.active_users(df, bucket="hour", window_buckets=24))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -306,6 +306,16 @@ def _q_kcore5(spark, sf_dir):
     return k_core(_graph(spark, sf_dir), k=5)
 
 
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition via the clamped edge-H-index fixpoint
+    (round 5) — every canonical edge's exact truss number; the edge
+    analog of coreness, value-checked against an unrolled triangle
+    H-index oracle."""
+    from linkgraph.operators import trussness
+
+    return trussness(_graph(spark, sf_dir))
+
+
 def _q_coreness(spark, sf_dir):
     """Full k-core decomposition via iterated neighborhood H-index
     (round 3) — every vertex's exact core number."""
@@ -1204,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa5": _q_salsa5,
         "eigcent10": _q_eigcent10,
         "onion": _q_onion,
+        "trussness": _q_trussness,
         "vocab_stats": _q_vocab_stats,
         "novelty": _q_novelty,
         "cocitation": _q_cocitation,
@@ -1280,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": osql.semantic_dedup_sql(num_centroids=16, min_sim=0.3),
         "kcore5": osql.kcore_sql(k=5, rounds=8),
         "coreness": osql.coreness_sql(rounds=30),
+        "trussness": osql.trussness_sql(rounds=20),
         "docs_despan": osql.despan_sql(min_len=30, keep="first"),
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),

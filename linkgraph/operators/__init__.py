@@ -58,7 +58,7 @@ from linkgraph.operators.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
-from linkgraph.operators.truss import k_truss
+from linkgraph.operators.truss import k_truss, trussness
 from linkgraph.operators.walks import (
     node2vec_walks,
     random_walks,
@@ -91,6 +91,7 @@ __all__ = [
     "katz",
     "k_core",
     "k_truss",
+    "trussness",
     "coreness",
     "onion_decomposition",
     "label_propagation",

@@ -195,3 +195,136 @@ def k_truss(
         )
 
     return sup.select("a", "b", F.col("sup").cast("long").alias("support"))
+
+
+def trussness(
+    graph: Graph,
+    max_iterations: int = 100,
+    degree_oriented: bool = True,
+    checkpointer: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Full truss DECOMPOSITION: DataFrame(a: long, b: long,
+    trussness: long) — every canonical edge's truss number (the largest
+    k whose k-truss contains it) over the undirected simple view; edges
+    in no triangle get 2 (every edge is trivially in the 2-truss).
+    The edge analog of :func:`linkgraph.operators.kcore.coreness`, and
+    the same algorithmic idea: a local H-index fixpoint instead of an
+    ordered sequential peel (Sariyüce, Seshadhri & Pinar, WWW'18 local
+    nucleus decomposition; Lü et al. 2016 for the vertex case).
+
+    Initialize ρ(e) = support(e); each round replace ρ(e) by
+    min(ρ(e), H({min(ρ(f), ρ(g)) : (f, g) close a triangle with e})).
+    Invariant: ρ(e) ≥ trussness(e)−2 is preserved (the trussness(e)-truss
+    gives ≥ trussness(e)−2 triangles whose partner edges all keep values
+    ≥ trussness(e)−2), and at the fixpoint every edge set
+    {f : ρ(f) ≥ k} has in-set support ≥ k, i.e. is a (k+2)-truss — so
+    the monotone, integer-valued sequence converges EXACTLY to
+    trussness−2. Unlike the peel there is no ordered removal chain:
+    every round is one bulk Catalyst plan.
+
+    Plan shape per round: the canonically-sorted triangle list (built
+    ONCE by the adjacency-intersect stream, O(triangles) rows, persisted
+    partitioned by its first edge key) joins the O(E') state three times
+    (one exchange-free side on the persisted layout, state exchanged —
+    never the triangle table rebuilt), emits 3 (edge, partner-min) rows
+    per triangle, then the coreness hub-guard histogram: groupBy
+    (edge, value) with map-side combine, cumulative window over the few
+    distinct values, H = max(min(value, count ≥ value)). Round count is
+    the graph's truss "h-depth" (small on community graphs); guarded
+    loudly by ``max_iterations``.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    lazy = checkpointer is None
+    checkpoint = checkpointer or _default_checkpointer
+    canon = graph.canonical_undirected_edges()
+    tri = (
+        _triangle_stream_from_canon(canon, degree_oriented)
+        .select(F.array_sort(F.array("u", "v", "w")).alias("t"))
+        .select(
+            F.col("t")[0].alias("x"),
+            F.col("t")[1].alias("y"),
+            F.col("t")[2].alias("z"),
+        )
+        .repartition(graph.num_partitions, "x", "y")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # x < y < z, so the triangle's edges (x,y) (x,z) (y,z) are canonical
+    rho = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("rho"))
+    )
+    rho = rho.localCheckpoint(eager=False) if lazy else checkpoint(rho, 0)
+
+    w = (
+        Window.partitionBy("a", "b")
+        .orderBy(F.desc("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for it in range(1, max_iterations + 1):
+        sxy = rho.select(
+            F.col("a").alias("x"), F.col("b").alias("y"), F.col("rho").alias("rxy")
+        )
+        sxz = rho.select(
+            F.col("a").alias("x"), F.col("b").alias("z"), F.col("rho").alias("rxz")
+        )
+        syz = rho.select(
+            F.col("a").alias("y"), F.col("b").alias("z"), F.col("rho").alias("ryz")
+        )
+        j = tri.join(sxy, ["x", "y"]).join(sxz, ["x", "z"]).join(syz, ["y", "z"])
+        vals = (
+            j.select(
+                F.col("x").alias("a"),
+                F.col("y").alias("b"),
+                F.least("rxz", "ryz").alias("val"),
+            )
+            .unionByName(
+                j.select(
+                    F.col("x").alias("a"),
+                    F.col("z").alias("b"),
+                    F.least("rxy", "ryz").alias("val"),
+                )
+            )
+            .unionByName(
+                j.select(
+                    F.col("y").alias("a"),
+                    F.col("z").alias("b"),
+                    F.least("rxy", "rxz").alias("val"),
+                )
+            )
+        )
+        hist = vals.groupBy("a", "b", "val").agg(F.count("*").alias("cnt"))
+        h = (
+            hist.withColumn("cum", F.sum("cnt").over(w))
+            .select("a", "b", F.least(F.col("val"), F.col("cum")).alias("m"))
+            .groupBy("a", "b")
+            .agg(F.max("m").alias("h"))
+        )
+        merged = rho.join(h, ["a", "b"]).select(
+            "a",
+            "b",
+            F.col("rho").alias("old"),
+            F.least(F.col("rho"), F.col("h")).alias("rho"),
+        )
+        merged = merged.localCheckpoint(eager=False) if lazy else checkpoint(merged, it)
+        changed = merged.filter(F.col("rho") != F.col("old")).count()
+        rho = merged.select("a", "b", "rho")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"trussness: H-index iteration did not converge in "
+            f"{max_iterations} rounds — raise max_iterations"
+        )
+
+    out = canon.join(rho, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("rho") + F.lit(2), F.lit(2)).cast("long").alias("trussness"),
+    )
+    tri.unpersist()
+    return out

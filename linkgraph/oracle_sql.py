@@ -1666,6 +1666,72 @@ FROM a{rounds} e LEFT JOIN sf s ON e.a = s.a AND e.b = s.b
 """
 
 
+def trussness_sql(rounds: int = 20) -> str:
+    """DuckDB twin of operators.truss.trussness: the triangle list is
+    built ONCE (a<b<c triple join, MATERIALIZED), then ``rounds``
+    unrolled clamped edge-H-index iterations from the support vector —
+    each round joins the state three times (one per triangle edge),
+    emits the per-triangle partner-min for each edge, and takes
+    H = MAX(LEAST(rank, value)) per edge, clamped by the previous value.
+    Monotone non-increasing and stationary at the trussness−2 fixpoint,
+    so rounds past convergence are no-ops — measured convergence: 3
+    rounds (sf0.001), 10 (sf0.01); 20 leaves margin, and the ENGINE
+    iterates to an actual fixpoint and raises if it needs more than its
+    own max_iterations, so a deeper graph fails loudly, not silently.
+    Edges in no triangle surface with trussness 2 via the final LEFT
+    join, matching the engine's coalesce."""
+    parts = [
+        """canon AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+tri AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s0 AS MATERIALIZED (
+    SELECT a, b, COUNT(*) AS rho FROM (
+        SELECT x AS a, y AS b FROM tri
+        UNION ALL SELECT x AS a, z AS b FROM tri
+        UNION ALL SELECT y AS a, z AS b FROM tri
+    ) GROUP BY a, b
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS (
+    SELECT t.x, t.y, t.z, sxy.rho AS rxy, sxz.rho AS rxz, syz.rho AS ryz
+    FROM tri t
+    JOIN s{r - 1} sxy ON t.x = sxy.a AND t.y = sxy.b
+    JOIN s{r - 1} sxz ON t.x = sxz.a AND t.z = sxz.b
+    JOIN s{r - 1} syz ON t.y = syz.a AND t.z = syz.b
+),
+h{r} AS (
+    SELECT a, b, MAX(LEAST(rn, val)) AS h FROM (
+        SELECT a, b, val,
+               ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY val DESC) AS rn
+        FROM (
+            SELECT x AS a, y AS b, LEAST(rxz, ryz) AS val FROM v{r}
+            UNION ALL SELECT x AS a, z AS b, LEAST(rxy, ryz) AS val FROM v{r}
+            UNION ALL SELECT y AS a, z AS b, LEAST(rxy, rxz) AS val FROM v{r}
+        )
+    ) GROUP BY a, b
+),
+s{r} AS MATERIALIZED (
+    SELECT s.a, s.b, LEAST(s.rho, h.h) AS rho
+    FROM s{r - 1} s JOIN h{r} h ON s.a = h.a AND s.b = h.b
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT c.a, c.b, CAST(COALESCE(s.rho + 2, 2) AS BIGINT) AS trussness
+FROM canon c LEFT JOIN s{rounds} s ON c.a = s.a AND c.b = s.b
+"""
+
+
 def coreness_sql(rounds: int = 30) -> str:
     """DuckDB twin of operators.kcore.coreness: ``rounds`` unrolled
     H-index iterations from the degree vector (each a neighbor join +

@@ -99,3 +99,64 @@ def test_ktruss_incremental_multi_peeled_triangle(spark):
     got3 = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=3).collect()}
     assert got3 == _truss_py(edges, 3)
     g.unpersist()
+
+
+def _trussness_py(edges: np.ndarray) -> dict[tuple[int, int], int]:
+    """Reference truss decomposition: trussness(e) = largest k with
+    e ∈ k-truss, via brute-force peeling at each k."""
+    canon = {(min(int(a), int(b)), max(int(a), int(b))) for a, b in edges if a != b}
+    t = {e: 2 for e in canon}
+    k = 3
+    while True:
+        kept = _truss_py(edges, k)
+        if not kept:
+            return t
+        for e in kept:
+            t[e] = k
+        k += 1
+
+
+def test_trussness_clique_plus_tail(spark):
+    from linkgraph.operators import trussness
+
+    cliq = [(i, j) for i in range(5) for j in range(5) if i < j]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    edges = np.array(cliq + tail)
+    g = make_graph(spark, edges, 8)
+    got = {(r["a"], r["b"]): r["trussness"] for r in trussness(g).collect()}
+    want = {e: 5 for e in cliq}
+    want.update({e: 2 for e in map(tuple, tail)})
+    assert got == want == _trussness_py(edges)
+    g.unpersist()
+
+
+def test_trussness_matches_bruteforce_peeling(spark):
+    from linkgraph.operators import trussness
+
+    edges, n = zipf_edges(n=120, m=900)
+    g = make_graph(spark, edges, n)
+    got = {(r["a"], r["b"]): r["trussness"] for r in trussness(g).collect()}
+    assert got == _trussness_py(edges)
+    g.unpersist()
+
+
+def test_trussness_consistent_with_ktruss(spark):
+    # {e : trussness(e) ≥ 4} must be exactly the 4-truss edge set
+    from linkgraph.operators import trussness
+
+    edges, n = zipf_edges(n=150, m=1200)
+    g = make_graph(spark, edges, n)
+    tr = {(r["a"], r["b"]) for r in trussness(g).collect() if r["trussness"] >= 4}
+    kt = {(r["a"], r["b"]) for r in k_truss(g, k=4).collect()}
+    assert tr == kt and len(kt) > 0
+    g.unpersist()
+
+
+def test_trussness_triangle_free(spark):
+    from linkgraph.operators import trussness
+
+    edges, n = chain_edges(10)
+    g = make_graph(spark, edges, n)
+    got = {(r["a"], r["b"]): r["trussness"] for r in trussness(g).collect()}
+    assert got == {(i, i + 1): 2 for i in range(9)}
+    g.unpersist()

@@ -393,6 +393,22 @@ def _q_ivf_knn(spark, sf_dir):
     )
 
 
+def _q_pq_knn(spark, sf_dir):
+    """PQ/ADC ANN (Jégou et al. 2011): md5-seeded product codebooks
+    (M=8 subspaces × K=16 codes over dim 64), per-subspace argmin encode,
+    asymmetric-distance top-k via a broadcast M×K lookup table — the
+    compressed-index serving path (8 codes/vector instead of 64 floats).
+    method='sql' keeps every fold JVM-side and index-ordered so the
+    DuckDB twin matches bit-for-bit before rounding."""
+    return similarity.pq_topk(
+        _emb(spark, sf_dir),
+        query_vec_id=0,
+        k=10,
+        num_subspaces=8,
+        codes_per_subspace=16,
+    )
+
+
 def _q_hits5(spark, sf_dir):
     """Kleinberg HITS, 5 L2-normalized rounds (round 4) — the hub/
     authority sibling of PageRank on the same persisted layout."""
@@ -1206,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "bpe_counts": _q_bpe_counts,
         "ivf_knn": _q_ivf_knn,
+        "pq_knn": _q_pq_knn,
         "funnel": _q_funnel,
         "events_rollup": _q_events_rollup,
         "coreness": _q_coreness,
@@ -1296,6 +1313,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": osql.fingerprints_sql(k=8, window=4),
         "fp_overlap": osql.fp_overlap_sql(k=8, window=4, min_shared=40),
         "ivf_knn": osql.ivf_knn_sql(query_vec_id=0, k=10, num_centroids=16, nprobe=2),
+        "pq_knn": osql.pq_knn_sql(
+            query_vec_id=0, k=10, num_subspaces=8, codes_per_subspace=16, dim=64
+        ),
         "personalized_pagerank": osql.personalized_pagerank_sql([0, 1, 2, 3], 10),
         "reciprocity": osql.reciprocity_sql(),
         "assortativity": osql.assortativity_sql(),

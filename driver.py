@@ -107,7 +107,10 @@ EVENT_ALGOS = (
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
-ANN_ALGOS = ("ann_index", "ivf_index", "ann_query", "ivf_query", "semantic_dedup")
+ANN_ALGOS = (
+    "ann_index", "ivf_index", "ann_query", "ivf_query", "semantic_dedup",
+    "pq_index", "pq_query",
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -191,6 +194,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", help="written ANN/IVF index path for *_query algos")
     p.add_argument("--topk", type=int, default=10, help="neighbors per query for *_query algos")
     p.add_argument("--nprobe", type=int, default=2, help="probed cells for --algo ivf_query")
+    p.add_argument("--num-subspaces", type=int, default=8,
+                   help="PQ subspaces (M) for pq_index/pq_query")
+    p.add_argument("--codes-per-subspace", type=int, default=16,
+                   help="PQ codebook size (K) for pq_index/pq_query")
     p.add_argument("--output", required=True, help="result table path")
     p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
     p.add_argument("--run-id", default="run0")
@@ -667,6 +674,31 @@ def _run_ann_index(spark: SparkSession, args) -> int:
         audit.write.mode("overwrite").parquet(audit_path)
         extra["dropped_cells_output"] = audit_path
         extra["dropped_cells"] = spark.read.parquet(audit_path).count()
+    elif args.algo == "pq_query":
+        # --embeddings = the QUERY table; --index = the code table
+        # written by pq_index: all queries answered in ONE scan of the
+        # compressed codes (ADC lookup tables broadcast)
+        if not args.index:
+            print("pq_query requires --index", file=sys.stderr)
+            return 2
+        queries = {
+            int(r["vec_id"]): list(r["embedding"]) for r in embeddings.collect()
+        }
+        seeds = similarity.read_pq_seeds(spark, args.index)
+        result = similarity.pq_index_topk_batch(
+            spark, args.index, seeds, queries, k=args.topk,
+            num_subspaces=args.num_subspaces,
+        )
+        result.write.mode("overwrite").parquet(args.output)
+        extra["n_queries"] = len(queries)
+    elif args.algo == "pq_index":
+        seeds = similarity.write_pq_index(
+            embeddings,
+            args.output,
+            num_subspaces=args.num_subspaces,
+            codes_per_subspace=args.codes_per_subspace,
+        )
+        extra["codebook_rows"] = int(seeds.shape[0])
     elif args.algo == "ann_index":
         similarity.write_ann_index(
             embeddings,

@@ -3771,3 +3771,63 @@ per_bucket AS (
 SELECT b.bucket_us, b.n_active, r.n_active_rolling
 FROM per_bucket b JOIN rolling r ON b.bucket_us = r.g_us
 """
+
+
+def pq_knn_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of similarity.pq_topk (ADC over md5-seeded product
+    codebooks): seeds are the K vectors with smallest md5(vec_id)
+    (j = rank, same seeding as ivf_knn_sql); subspace m's codebook is the
+    1-based slice [m*sub+1 : (m+1)*sub]; encode = per-(vec,m) argmin of
+    the 6-dp-rounded squared L2 with ties to the smaller j; ADC = sum of
+    the query's 6-dp-rounded partial distances at the encoded cells,
+    rounded to 6 dp; ascending, ties to the smaller vec_id, query
+    excluded. list_sum folds in index order, matching the engine's
+    zip_with/aggregate fold bit-for-bit before rounding."""
+    sub = dim // num_subspaces
+    return f"""
+WITH seeds AS (
+    SELECT embedding::DOUBLE[] AS v,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+    FROM embeddings
+    QUALIFY j < {codes_per_subspace}
+),
+mtab AS (SELECT CAST(m AS INT) AS m FROM range(0, {num_subspaces}) t(m)),
+books AS (
+    SELECT mtab.m, seeds.j,
+           (seeds.v)[mtab.m * {sub} + 1 : (mtab.m + 1) * {sub}] AS bvec
+    FROM seeds CROSS JOIN mtab
+),
+slices AS (
+    SELECT vec_id, mtab.m,
+           (embedding::DOUBLE[])[mtab.m * {sub} + 1 : (mtab.m + 1) * {sub}] AS sv
+    FROM embeddings CROSS JOIN mtab
+),
+enc AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, b.j,
+               ROUND(list_sum(list_transform(list_zip(s.sv, b.bvec),
+                     x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d
+        FROM slices s JOIN books b USING (m)
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) = 1
+),
+lut AS (
+    SELECT s.m, b.j AS code,
+           ROUND(list_sum(list_transform(list_zip(s.sv, b.bvec),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS pd
+    FROM slices s JOIN books b USING (m)
+    WHERE s.vec_id = {query_vec_id}
+)
+SELECT e.vec_id, ROUND(SUM(l.pd), 6) AS adist
+FROM enc e JOIN lut l USING (m, code)
+WHERE e.vec_id <> {query_vec_id}
+GROUP BY e.vec_id
+ORDER BY adist ASC, e.vec_id ASC
+LIMIT {k}
+"""

@@ -1197,3 +1197,346 @@ def ann_index_topk(
     if exclude_vec_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_vec_id)
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
+
+
+# ------------------------------------------------- product quantization (PQ)
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split the dim into M subspaces, vector-quantize
+# each against a K-entry codebook, and serve queries by Asymmetric
+# Distance Computation (ADC) — a per-query M×K lookup table of partial
+# squared-L2 distances, so each database vector costs M table lookups +
+# adds instead of a dim-length dot product, and the stored index is M
+# small ints per vector (64 bytes of float32 → 8 bytes at M=8) — the
+# compression is what makes a 10⁹-vector index fit executor memory.
+# Reference parity note: EverythingGraph has no ANN (beyond-reference
+# LLM-data operator, brief §"similarity search").
+def pq_codebooks(
+    embeddings: DataFrame,
+    codes_per_subspace: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(K, dim) float64 seed matrix shared by every subspace: the K
+    vectors with lexicographically smallest ``md5(CAST(vec_id AS
+    STRING))`` — the exact :func:`ivf_centroids` seeding discipline
+    (TakeOrderedAndProject, never a global sort; RNG-free so ANSI SQL
+    reproduces it). Subspace m's codebook is column-slice
+    ``seeds[:, m*sub:(m+1)*sub]`` — one bounded K×dim driver artifact
+    covers all M codebooks instead of M k-means fits; Lloyd refinement
+    per subspace is the same upgrade path as ``ivf_centroids`` and
+    deliberately kept off the oracle-checked gate configuration."""
+    if codes_per_subspace < 1:
+        raise ValueError(f"codes_per_subspace ({codes_per_subspace}) must be ≥ 1")
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(codes_per_subspace)
+        .collect()
+    )
+    rows.sort(
+        key=lambda r: (
+            hashlib.md5(str(r[id_col]).encode()).hexdigest(),
+            r[id_col],
+        )
+    )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def _pq_books_df(
+    spark: SparkSession, seeds: np.ndarray, num_subspaces: int
+) -> DataFrame:
+    """(m, j, bvec) — the M×K codebook rows as a broadcastable table."""
+    dim = seeds.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim ({dim}) not divisible by M ({num_subspaces})")
+    sub = dim // num_subspaces
+    rows = [
+        (m, j, [float(x) for x in seeds[j, m * sub : (m + 1) * sub]])
+        for m in range(num_subspaces)
+        for j in range(seeds.shape[0])
+    ]
+    return spark.createDataFrame(rows, "m int, j int, bvec array<double>")
+
+
+def _pq_slices(
+    embeddings: DataFrame, num_subspaces: int, sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, m, sv) — each vector exploded into its M subspace slices,
+    cast to double once (float→double widening is exact, so the slices
+    match the oracle's ``::DOUBLE[]`` bit-for-bit)."""
+    v = F.col(vec_col).cast("array<double>")
+    slices = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.slice(v, m * sub + 1, sub).alias("sv"))
+            for m in range(num_subspaces)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.explode(slices).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _sqdist(a: str, b: str) -> Column:
+    """Squared L2 between two double arrays — index-order sequential
+    fold (zip_with + aggregate), so it matches DuckDB's list_sum of the
+    zipped squares bit-for-bit before rounding."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    method: str = "sql",
+    seeds: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, m, code) — each vector's per-subspace nearest codebook
+    entry (6-dp-rounded squared L2, ties to the smaller code — the
+    argmin twin of ``_ivf_assign``'s argmax discipline).
+
+    ``method='sql'`` is the oracle-exact JVM path: slices ⨝ broadcast
+    M×K codebook (a vector costs M·K bounded-width rows, never a pair
+    join) + a map-side-combinable min(struct) argmin. ``method='matmul'``
+    is the scale path: one Arrow batch = M small BLAS gram computations
+    (‖x‖² − 2·x@Cᵀ + ‖C‖²) and a rounded argmin — O(1) plan size in M, K
+    and dim, the same design as ``_assign_with_cents``. The long (m-row)
+    form is the join shape ADC consumes; a persisted index would
+    ``collect_list`` it to one M-byte row per vector."""
+    if seeds is None:
+        seeds = pq_codebooks(embeddings, codes_per_subspace, id_col, vec_col)
+    dim = seeds.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim ({dim}) not divisible by M ({num_subspaces})")
+    sub = dim // num_subspaces
+    if method == "sql":
+        books = _pq_books_df(embeddings.sparkSession, seeds, num_subspaces)
+        scored = (
+            _pq_slices(embeddings, num_subspaces, sub, id_col, vec_col)
+            .join(F.broadcast(books), "m")
+            .select(
+                "vec_id",
+                "m",
+                "j",
+                F.round(_sqdist("sv", "bvec"), 6).alias("d"),
+            )
+        )
+        best = scored.groupBy("vec_id", "m").agg(
+            F.min(F.struct(F.col("d"), F.col("j"))).alias("b")
+        )
+        return best.select("vec_id", "m", F.col("b.j").alias("code"))
+    if method != "matmul":
+        raise ValueError(f"unknown method {method!r} (want 'sql' or 'matmul')")
+    K = seeds.shape[0]
+    books = np.stack(
+        [seeds[:, m * sub : (m + 1) * sub] for m in range(num_subspaces)]
+    )  # (M, K, sub)
+    bnorm2 = np.sum(books * books, axis=2)  # (M, K)
+
+    @pandas_udf("array<int>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        out = np.empty((x.shape[0], num_subspaces), dtype=np.int32)
+        for m in range(num_subspaces):
+            xm = x[:, m * sub : (m + 1) * sub]  # (B, sub)
+            d = (
+                np.sum(xm * xm, axis=1, keepdims=True)
+                - 2.0 * (xm @ books[m].T)
+                + bnorm2[m]
+            )
+            # same 6-dp tie discipline as the SQL path; np.argmin takes
+            # the FIRST minimum, i.e. the smaller code
+            out[:, m] = np.argmin(np.round(d, 6), axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(codes(F.col(vec_col)))
+    ).select("vec_id", F.col("pos").alias("m"), F.col("col").cast("int").alias("code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    method: str = "sql",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, adist) — ADC top-k: the k vectors with the smallest
+    PQ-approximated squared-L2 distance to the query (ascending, ties to
+    the smaller vec_id; the query itself excluded).
+
+    The ADC lookup table is built ENGINE-side as a tiny M×K DataFrame
+    (query slices ⨝ broadcast codebook, 6-dp-rounded partials) so the
+    oracle-exact path never leaves JVM arithmetic; the database side is
+    ``pq_encode`` joined against that broadcast LUT on (m, code) + one
+    map-side-combinable sum per vector — per-vector serve cost is M
+    lookups, independent of dim. Final order is TakeOrdered, not a
+    global sort. At 10⁹ vectors the encode runs once (persisted index);
+    only the M×K LUT is per-query."""
+    dim = _infer_dim(embeddings, vec_col)
+    if dim % num_subspaces:
+        raise ValueError(f"dim ({dim}) not divisible by M ({num_subspaces})")
+    sub = dim // num_subspaces
+    seeds = pq_codebooks(embeddings, codes_per_subspace, id_col, vec_col)
+    enc = pq_encode(
+        embeddings, num_subspaces, codes_per_subspace, method, seeds, id_col, vec_col
+    )
+    qdf = embeddings.filter(F.col(id_col) == query_vec_id)
+    books = _pq_books_df(embeddings.sparkSession, seeds, num_subspaces)
+    lut = (
+        _pq_slices(qdf, num_subspaces, sub, id_col, vec_col)
+        .join(F.broadcast(books), "m")
+        .select("m", F.col("j").alias("code"), F.round(_sqdist("sv", "bvec"), 6).alias("pd"))
+    )
+    return (
+        enc.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    method: str = "matmul",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the compressed PQ index: one (vec_id, codes array<int>)
+    row per vector — M small ints instead of dim floats, the form whose
+    whole-corpus scan fits executor memory at 10⁹ vectors (8 bytes/vector
+    at M=8 vs 256 at dim=64 float32). The K×dim seed matrix persists as a
+    ``{path}_codebooks`` sidecar (j, v) so a serving process routes
+    queries without re-deriving codebooks (:func:`read_pq_seeds`).
+    Returns the seeds."""
+    seeds = pq_codebooks(embeddings, codes_per_subspace, id_col, vec_col)
+    enc = pq_encode(
+        embeddings, num_subspaces, codes_per_subspace, method, seeds, id_col, vec_col
+    )
+    codes = enc.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("m"), F.col("code")))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    codes.write.mode("overwrite").parquet(path)
+    embeddings.sparkSession.createDataFrame(
+        [(j, [float(x) for x in seeds[j]]) for j in range(seeds.shape[0])],
+        "j int, v array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}_codebooks")
+    return seeds
+
+
+def read_pq_seeds(spark: SparkSession, path: str) -> np.ndarray:
+    """(K, dim) seed matrix from the ``{path}_codebooks`` sidecar."""
+    rows = spark.read.parquet(f"{path.rstrip('/')}_codebooks").collect()
+    rows.sort(key=lambda r: int(r["j"]))
+    if [int(r["j"]) for r in rows] != list(range(len(rows))):
+        raise ValueError(f"codebook sidecar at {path}_codebooks has gaps")
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def pq_index_topk_batch(
+    spark: SparkSession,
+    path: str,
+    seeds: np.ndarray,
+    queries: "dict[int, list[float] | np.ndarray]",
+    k: int = 10,
+    num_subspaces: int = 8,
+) -> DataFrame:
+    """(query_id, vec_id, adist) — ADC top-k for ALL queries in ONE scan
+    of the compressed code table (the PQ sibling of
+    :func:`ivf_index_topk_batch`). The Q×M×K float64 lookup tables are
+    built driver-side (bounded: queries are a collected batch by
+    contract) and broadcast inside one Arrow UDF; each batch costs a
+    table gather + per-query partial sort, and only ≤ k rows per
+    (partition, query) leave the scan — the shuffle is O(partitions·Q·k),
+    never O(N·Q). Final per-query order: adist ASC, vec_id ASC."""
+    dim = seeds.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim ({dim}) not divisible by M ({num_subspaces})")
+    sub = dim // num_subspaces
+    K = seeds.shape[0]
+    qids = sorted(int(q) for q in queries)
+    # LUT[i, m, j] = round(||q_i[m] - book[m][j]||^2, 6), built to match
+    # the engine's JVM partials BIT-FOR-BIT: a sequential left fold over
+    # the sub dims (numpy's pairwise np.sum can land an ulp away, which
+    # flips a near-half rounding boundary — observed on the test
+    # fixture) and Java HALF_UP on the double's shortest decimal repr
+    # (np.round is half-even on x*1e6). The LUT is Q·M·K entries, so
+    # per-element Decimal rounding is driver-noise.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _jround6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    lut = np.empty((len(qids), num_subspaces, K), dtype=np.float64)
+    for i, qid in enumerate(qids):
+        # queries pass through float32 first: the embedding column is
+        # array<float>, so a table-sourced query (what pq_topk compares
+        # against) is float32-quantized — a raw float64 query would
+        # build an ulp-different LUT and flip 6-dp boundaries
+        qv = np.asarray(queries[qid], dtype=np.float32).astype(np.float64)
+        for m in range(num_subspaces):
+            d = qv[m * sub : (m + 1) * sub] - seeds[:, m * sub : (m + 1) * sub]
+            dd = d * d
+            acc = np.zeros(K, dtype=np.float64)
+            for t in range(sub):
+                acc += dd[:, t]
+            lut[i, m] = [_jround6(float(x)) for x in acc]
+    qarr = np.asarray(qids, dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, M)
+            # dists[i, b] = sum_m lut[i, m, codes[b, m]]
+            dists = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for m in range(num_subspaces):
+                dists += lut[:, m, codes[:, m]]
+            dists = np.round(dists, 6)
+            # k+1 so the self-row (filtered after the scan) can never
+            # crowd a real neighbor out of a batch's candidate set, and
+            # a THRESHOLD mask (adist <= the (k+1)-th smallest) instead
+            # of argpartition's arbitrary tie cut: quantized distances
+            # tie often, and dropping a boundary tie with a smaller
+            # vec_id would break exact (adist, vec_id) parity with
+            # pq_topk. Emits k+1+ties rows per (batch, query) — still
+            # O(k) for non-degenerate codebooks.
+            kk = min(k + 1, len(ids))
+            thr = np.partition(dists, kk - 1, axis=1)[:, kk - 1 : kk]
+            qi, bi = np.nonzero(dists <= thr)
+            yield pd.DataFrame(
+                {
+                    "query_id": qarr[qi],
+                    "vec_id": ids[bi],
+                    "adist": dists[qi, bi],
+                }
+            )
+
+    from pyspark.sql import Window
+
+    cand = spark.read.parquet(path).mapInPandas(
+        score, "query_id long, vec_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

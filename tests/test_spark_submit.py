@@ -172,6 +172,8 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
     annq_out = str(tmp_path / "annq")
     ivfq_out = str(tmp_path / "ivfq")
     semdedup_out = str(tmp_path / "semdedup")
+    pq_out = str(tmp_path / "pqidx")
+    pqq_out = str(tmp_path / "pqq")
     wrapper = workdir / "both.py"
     wrapper.write_text(
         "import driver\n"
@@ -205,6 +207,15 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
         f"rc = driver.main(['--algo', 'semantic_dedup', '--embeddings', {emb_path!r},"
         f" '--output', {semdedup_out!r}, '--num-centroids', '4',"
         f" '--min-sim', '0.95'])\n"
+        "assert rc == 0, rc\n"
+        # round 5: compressed PQ index (M codes/vector) + one-scan ADC serving
+        f"rc = driver.main(['--algo', 'pq_index', '--embeddings', {emb_path!r},"
+        f" '--output', {pq_out!r}, '--num-subspaces', '4',"
+        f" '--codes-per-subspace', '4'])\n"
+        "assert rc == 0, rc\n"
+        f"rc = driver.main(['--algo', 'pq_query', '--embeddings', {emb_path!r},"
+        f" '--index', {pq_out!r}, '--output', {pqq_out!r},"
+        f" '--num-subspaces', '4', '--topk', '3'])\n"
         "assert rc == 0, rc\n"
     )
 
@@ -269,3 +280,13 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
         assert set(q.columns) == {"qid", "vec_id", "sim", "rank"}
         assert q["qid"].nunique() >= nq - 1  # a query may have no band-mates
         assert (q.groupby("qid")["rank"].max() <= 3).all()
+
+    # round 5: PQ — compressed code table + codebook sidecar + ADC serving
+    pq_codes = spark.read.parquet(pq_out).toPandas()
+    assert set(pq_codes.columns) == {"vec_id", "codes"}
+    assert len(pq_codes) == 40 and all(len(c) == 4 for c in pq_codes["codes"])
+    pqq = spark.read.parquet(pqq_out).toPandas()
+    assert set(pqq.columns) == {"query_id", "vec_id", "adist"}
+    assert pqq["query_id"].nunique() == 40  # ADC always answers
+    assert (pqq.groupby("query_id").size() <= 3).all()
+    assert (pqq["query_id"] != pqq["vec_id"]).all()

@@ -107,11 +107,14 @@ def big_embeddings(spark, num_partitions: int):
     )
 
 
-def brute_topk_many(emb_df, queries: dict, k: int = 10):
-    """Exact cosine top-k for MANY queries in ONE pass: per Arrow batch a
+def brute_topk_many(emb_df, queries: dict, k: int = 10, metric: str = "cos"):
+    """Exact top-k for MANY queries in ONE pass: per Arrow batch a
     single (batch × dim) @ (dim × nq) float64 matmul + per-batch partial
     top-k, then a global per-query top-k — the ground-truth pass recall
-    is measured against (100 separate brute scans would be 100 passes)."""
+    is measured against (100 separate brute scans would be 100 passes).
+    metric='cos' ranks by cosine (LSH/IVF ground truth); metric='l2'
+    ranks by ascending squared L2 (the PQ/ADC ground truth — PQ
+    approximates L2, so cosine truth would misstate its recall)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -119,6 +122,7 @@ def brute_topk_many(emb_df, queries: dict, k: int = 10):
     qids = sorted(queries)
     Q = np.stack([queries[q] for q in qids]).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norm2 = np.sum(Q * Q, axis=1)  # (nq,)
     nq = len(qids)
     qid_arr = np.array(qids, dtype=np.int64)
 
@@ -127,15 +131,25 @@ def brute_topk_many(emb_df, queries: dict, k: int = 10):
         acc_sims = [[] for _ in range(nq)]
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            sims = (m / norms) @ Qn.T  # (batch, nq)
+            if metric == "l2":
+                # negated squared L2 so the shared "larger is better"
+                # top-k below applies unchanged
+                sims = -(
+                    np.sum(m * m, axis=1, keepdims=True)
+                    - 2.0 * (m @ Q.T)
+                    + q_norm2[None, :]
+                )
+            else:
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                sims = (m / norms) @ Qn.T  # (batch, nq)
             ids = pdf["vec_id"].to_numpy()
             # mask only each query's OWN row in its OWN column — the ANN
             # loops exclude just the query itself, so the ground truth must
             # too (masking ALL query ids everywhere scored a legitimately
             # returned other-query vector as a miss: ADVICE r03)
-            sims[ids[:, None] == qid_arr[None, :]] = -2.0
+            # -inf, not -2.0: negated-L2 scores routinely sit below -2
+            sims[ids[:, None] == qid_arr[None, :]] = -np.inf
             kk = min(k, sims.shape[0])
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
             for qi in range(nq):
@@ -1009,6 +1023,72 @@ def main() -> None:
             big_stats["semdedup_vecs_per_sec"] = round(BIG_VECS / wall, 1)
             big_stats["semdedup_keep"] = n_keep
             big_stats["semdedup_config"] = "C=1024,min_sim=0.95"
+
+            # ---- product quantization at 1M × 256 (round 5): compressed
+            # code index (M=16 codes/vector — 256 floats → 16 small ints,
+            # 64× smaller) + ALL queries served by one ADC scan of the
+            # codes. Ground truth is exact L2 (PQ approximates L2; the
+            # cosine truth the LSH/IVF cells use would misstate ADC
+            # recall). Two serving modes: pure ADC (deliberately reported
+            # — on this iid-uniform-noise corpus quantized distances
+            # concentrate and within-cluster ranking is near-arbitrary,
+            # a measured worst case, and Lloyd-trained codebooks were
+            # A/B'd offline to move it only 0.58→0.62), and ADC + exact
+            # re-rank of the top k·R shortlist (Jégou et al. IVFADC+R —
+            # the same exact-candidate-scoring discipline as the LSH/IVF
+            # cells), which is the configuration of record.
+            from linkgraph.similarity import pq_index_topk_batch, write_pq_index
+
+            PQ_M, PQ_K, PQ_R = 16, 256, 200
+            pq_path = f"{scratch}/pq"
+            t = time.monotonic()
+            pq_seeds = write_pq_index(
+                emb, pq_path, num_subspaces=PQ_M, codes_per_subspace=PQ_K,
+                method="matmul",
+            )
+            wall = time.monotonic() - t
+            timings["bigpq_index_build"] = round(wall, 3)
+            big_stats["pq_index_build_vecs_per_sec"] = round(BIG_VECS / wall, 1)
+
+            t = time.monotonic()
+            brute_l2 = {}
+            for r in brute_topk_many(emb, queries, k=10, metric="l2").collect():
+                brute_l2.setdefault(r["qid"], []).append(r["vec_id"])
+            timings["bigpq_brute_l2_pass"] = round(time.monotonic() - t, 3)
+
+            def pq_recall(**kw):
+                n_hit = total = 0
+                got_b = {}
+                for r in pq_index_topk_batch(
+                    spark, pq_path, pq_seeds, queries, k=10,
+                    num_subspaces=PQ_M, **kw,
+                ).collect():
+                    got_b.setdefault(r["query_id"], []).append(r["vec_id"])
+                for qid in queries:
+                    n_hit += len(set(got_b.get(qid, [])) & set(brute_l2[qid]))
+                    total += len(brute_l2[qid])
+                return n_hit / total
+
+            t = time.monotonic()
+            adc_recall = pq_recall()
+            wall = time.monotonic() - t
+            timings["bigpq_queries_adc"] = round(wall, 3)
+            big_stats["pq_adc_query_ms"] = round(1000.0 * wall / len(queries), 1)
+            big_stats["pq_adc_recall_at_10"] = round(adc_recall, 4)
+
+            walls = []
+            for _ in range(2):
+                t = time.monotonic()
+                rr_recall = pq_recall(
+                    rerank_embeddings=emb, rerank_factor=PQ_R
+                )
+                walls.append(round(time.monotonic() - t, 3))
+            wall = min(walls)
+            samples_log["bigpq_queries_rerank"] = walls
+            timings["bigpq_queries_rerank"] = round(wall, 3)
+            big_stats["pq_rerank_query_ms"] = round(1000.0 * wall / len(queries), 1)
+            big_stats["pq_rerank_recall_at_10"] = round(rr_recall, 4)
+            big_stats["pq_config"] = f"M={PQ_M},K={PQ_K},R={PQ_R}"
             emb.unpersist()
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -1055,6 +1135,7 @@ def main() -> None:
         "big_pr_edges_per_sec": big_stats.get("pagerank10_edges_per_sec"),
         "ann_batch_recall_at_10": big_stats.get("ann_batch_recall_at_10"),
         "ivf_batch_recall_at_10": big_stats.get("ivf_batch_recall_at_10"),
+        "pq_rerank_recall_at_10": big_stats.get("pq_rerank_recall_at_10"),
         "detail": "bench_detail.json",
     }
     line = json.dumps(compact, separators=(",", ":"))

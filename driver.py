@@ -198,6 +198,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PQ subspaces (M) for pq_index/pq_query")
     p.add_argument("--codes-per-subspace", type=int, default=16,
                    help="PQ codebook size (K) for pq_index/pq_query")
+    p.add_argument("--rerank-factor", type=int, default=0,
+                   help="pq_query: re-rank the ADC top k*R shortlist with "
+                        "exact L2 against --rerank-embeddings (0 = pure ADC)")
+    p.add_argument("--rerank-embeddings",
+                   help="pq_query: full-precision vector table for --rerank-factor")
     p.add_argument("--output", required=True, help="result table path")
     p.add_argument("--checkpoint-root", help="durable per-iteration state root (enables resume)")
     p.add_argument("--run-id", default="run0")
@@ -685,12 +690,23 @@ def _run_ann_index(spark: SparkSession, args) -> int:
             int(r["vec_id"]): list(r["embedding"]) for r in embeddings.collect()
         }
         seeds = similarity.read_pq_seeds(spark, args.index)
+        rr_kw = {}
+        if args.rerank_factor > 0:
+            if not args.rerank_embeddings:
+                print("--rerank-factor requires --rerank-embeddings",
+                      file=sys.stderr)
+                return 2
+            rr_kw = dict(
+                rerank_embeddings=spark.read.parquet(args.rerank_embeddings),
+                rerank_factor=args.rerank_factor,
+            )
         result = similarity.pq_index_topk_batch(
             spark, args.index, seeds, queries, k=args.topk,
-            num_subspaces=args.num_subspaces,
+            num_subspaces=args.num_subspaces, **rr_kw,
         )
         result.write.mode("overwrite").parquet(args.output)
         extra["n_queries"] = len(queries)
+        extra["rerank_factor"] = args.rerank_factor
     elif args.algo == "pq_index":
         seeds = similarity.write_pq_index(
             embeddings,

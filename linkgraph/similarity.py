@@ -1455,6 +1455,8 @@ def pq_index_topk_batch(
     queries: "dict[int, list[float] | np.ndarray]",
     k: int = 10,
     num_subspaces: int = 8,
+    rerank_embeddings: "DataFrame | None" = None,
+    rerank_factor: int = 10,
 ) -> DataFrame:
     """(query_id, vec_id, adist) — ADC top-k for ALL queries in ONE scan
     of the compressed code table (the PQ sibling of
@@ -1463,12 +1465,24 @@ def pq_index_topk_batch(
     contract) and broadcast inside one Arrow UDF; each batch costs a
     table gather + per-query partial sort, and only ≤ k rows per
     (partition, query) leave the scan — the shuffle is O(partitions·Q·k),
-    never O(N·Q). Final per-query order: adist ASC, vec_id ASC."""
+    never O(N·Q). Final per-query order: adist ASC, vec_id ASC.
+
+    With ``rerank_embeddings`` set, the scan instead shortlists the ADC
+    top-``k·rerank_factor`` per query and re-scores that shortlist with
+    EXACT squared L2 against the true vectors — Jégou et al.'s IVFADC+R
+    (§V): quantized distances concentrate on high-dim corpora, so pure
+    ADC ranking within a tight neighborhood is near-arbitrary; a short
+    exact re-rank restores recall at Q·k·R re-scored rows (the same
+    exact-candidate-scoring discipline as the LSH/IVF serving paths).
+    The shortlist side is broadcast, so the re-rank join is one
+    shuffle-free pass over the vector table with the scan pruned by a
+    pushed-down semi-join filter; ``adist`` is then the exact distance."""
     dim = seeds.shape[1]
     if dim % num_subspaces:
         raise ValueError(f"dim ({dim}) not divisible by M ({num_subspaces})")
     sub = dim // num_subspaces
     K = seeds.shape[0]
+    kshort = k * rerank_factor if rerank_embeddings is not None else k
     qids = sorted(int(q) for q in queries)
     # LUT[i, m, j] = round(||q_i[m] - book[m][j]||^2, 6), built to match
     # the engine's JVM partials BIT-FOR-BIT: a sequential left fold over
@@ -1499,30 +1513,55 @@ def pq_index_topk_batch(
     qarr = np.asarray(qids, dtype=np.int64)
 
     def score(batches):
+        # accumulate candidates ACROSS Arrow batches and emit once per
+        # partition (the brute_topk_many discipline): with a large
+        # shortlist (rerank kshort = k·R) a per-batch emit of kshort
+        # rows per query per ~10k-row batch would EXCEED the scan input
+        nq = len(qids)
+        acc_ids: "list[list[np.ndarray]]" = [[] for _ in range(nq)]
+        acc_d: "list[list[np.ndarray]]" = [[] for _ in range(nq)]
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, M)
             # dists[i, b] = sum_m lut[i, m, codes[b, m]]
-            dists = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            dists = np.zeros((nq, len(ids)), dtype=np.float64)
             for m in range(num_subspaces):
                 dists += lut[:, m, codes[:, m]]
             dists = np.round(dists, 6)
-            # k+1 so the self-row (filtered after the scan) can never
-            # crowd a real neighbor out of a batch's candidate set, and
-            # a THRESHOLD mask (adist <= the (k+1)-th smallest) instead
+            # kshort+1 so the self-row (filtered after the scan) can
+            # never crowd a real neighbor out of a batch's candidate
+            # set, and a THRESHOLD mask (adist <= the boundary) instead
             # of argpartition's arbitrary tie cut: quantized distances
             # tie often, and dropping a boundary tie with a smaller
             # vec_id would break exact (adist, vec_id) parity with
-            # pq_topk. Emits k+1+ties rows per (batch, query) — still
-            # O(k) for non-degenerate codebooks.
-            kk = min(k + 1, len(ids))
+            # pq_topk. Keeps kshort+1+ties rows per (batch, query) —
+            # still O(kshort) for non-degenerate codebooks.
+            kk = min(kshort + 1, len(ids))
             thr = np.partition(dists, kk - 1, axis=1)[:, kk - 1 : kk]
             qi, bi = np.nonzero(dists <= thr)
+            for i in range(nq):
+                sel = bi[qi == i]
+                if len(sel):
+                    acc_ids[i].append(ids[sel])
+                    acc_d[i].append(dists[i, sel])
+        rows_q, rows_v, rows_d = [], [], []
+        for i in range(nq):
+            if not acc_ids[i]:
+                continue
+            cid = np.concatenate(acc_ids[i])
+            cd = np.concatenate(acc_d[i])
+            kk = min(kshort + 1, len(cid))
+            thr_i = np.partition(cd, kk - 1)[kk - 1]
+            keep = cd <= thr_i
+            rows_q.append(np.full(int(keep.sum()), qarr[i], dtype=np.int64))
+            rows_v.append(cid[keep])
+            rows_d.append(cd[keep])
+        if rows_q:
             yield pd.DataFrame(
                 {
-                    "query_id": qarr[qi],
-                    "vec_id": ids[bi],
-                    "adist": dists[qi, bi],
+                    "query_id": np.concatenate(rows_q),
+                    "vec_id": np.concatenate(rows_v),
+                    "adist": np.concatenate(rows_d),
                 }
             )
 
@@ -1534,9 +1573,44 @@ def pq_index_topk_batch(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
-    return (
+    topped = (
         cand.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= kshort)
+        .drop("rn")
+    )
+    if rerank_embeddings is None:
+        return topped
+
+    # exact re-rank: broadcast the Q·k·R shortlist against the vector
+    # table (build side = shortlist → no shuffle of the big table), then
+    # score each (query, vec) pair with one gathered-row L2 per Arrow
+    # batch and keep the exact top-k
+    qmat = np.stack(
+        [
+            np.asarray(queries[q], dtype=np.float32).astype(np.float64)
+            for q in qids
+        ]
+    )
+    qpos = {q: i for i, q in enumerate(qids)}
+
+    @pandas_udf("double")
+    def exact_l2(qid_s: pd.Series, vec_s: pd.Series) -> pd.Series:
+        m = np.stack(vec_s.to_numpy()).astype(np.float64)
+        qm = qmat[[qpos[int(q)] for q in qid_s]]
+        d = m - qm
+        return pd.Series(np.round(np.sum(d * d, axis=1), 6))
+
+    joined = rerank_embeddings.select(
+        F.col("vec_id"), F.col("embedding")
+    ).join(F.broadcast(topped.select("query_id", "vec_id")), "vec_id")
+    rescored = joined.select(
+        "query_id",
+        "vec_id",
+        exact_l2(F.col("query_id"), F.col("embedding")).alias("adist"),
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

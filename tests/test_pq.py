@@ -130,3 +130,28 @@ def pd_groupby(batch_df):
     for r in rows:
         out.setdefault(r.query_id, []).append(r)
     return out.items()
+
+
+def test_pq_rerank_restores_exact_neighbors(spark, clustered, tmp_path):
+    """ADC + exact re-rank (Jégou et al. IVFADC+R): with a shortlist
+    covering the whole fixture (R large), the result must equal the
+    exact L2 top-k — re-rank eliminates quantization error entirely
+    when the shortlist holds the true neighbors."""
+    from linkgraph.similarity import pq_index_topk_batch, write_pq_index
+
+    df, vecs = clustered
+    path = str(tmp_path / "pqrr")
+    seeds = write_pq_index(df, path, num_subspaces=M, codes_per_subspace=K)
+    queries = {0: [float(x) for x in vecs[0]]}
+    got = [
+        (r.vec_id, r.adist)
+        for r in pq_index_topk_batch(
+            spark, path, seeds, queries, k=10, num_subspaces=M,
+            rerank_embeddings=df, rerank_factor=N,  # shortlist ⊇ corpus
+        ).orderBy("adist", "vec_id").collect()
+    ]
+    d = np.sum((vecs.astype(np.float32).astype(np.float64)
+                - vecs[0].astype(np.float32).astype(np.float64)) ** 2, axis=1)
+    d[0] = np.inf
+    exact = sorted(range(len(d)), key=lambda i: (round(d[i], 6), i))[:10]
+    assert [v for v, _ in got] == exact

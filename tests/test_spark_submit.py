@@ -215,7 +215,8 @@ def test_spark_submit_minhash_and_ann_index(spark, tmp_path):
         "assert rc == 0, rc\n"
         f"rc = driver.main(['--algo', 'pq_query', '--embeddings', {emb_path!r},"
         f" '--index', {pq_out!r}, '--output', {pqq_out!r},"
-        f" '--num-subspaces', '4', '--topk', '3'])\n"
+        f" '--num-subspaces', '4', '--topk', '3',"
+        f" '--rerank-factor', '5', '--rerank-embeddings', {emb_path!r}])\n"
         "assert rc == 0, rc\n"
     )
 

@@ -441,6 +441,39 @@ def _q_salsa5(spark, sf_dir):
     )
 
 
+def _q_simrank3(spark, sf_dir):
+    """SimRank, 3 exact fixpoint rounds, top-50 off-diagonal pairs by
+    rounded score (round 5) — structural-context similarity from the
+    PageRank in-neighbor layout propagated over vertex PAIRS. Gated on
+    the 256-vertex INDUCED subgraph: exact all-pairs SimRank is
+    Θ(pairs·deg²) per round, so the full 2048-vertex gate graph is the
+    operator's own documented scale-killer; the induced cut exercises
+    every code path while the eps / hub-cap production levers stay OFF
+    for oracle parity."""
+    from linkgraph.graph import Graph
+    from linkgraph.operators import simrank
+
+    g = _graph(spark, sf_dir)
+    sub = Graph.from_edges(
+        spark,
+        g.edges.filter((F.col("src") < 256) & (F.col("dst") < 256)),
+        num_vertices=256,
+        persist=False,
+    )
+    return simrank(sub, iterations=3, decay=0.8, top_k=50)
+
+
+def _q_backbone(spark, sf_dir):
+    """Disparity-filter backbone (Serrano et al. PNAS'09, round 5) —
+    edges whose synthetic weight is statistically significant at either
+    endpoint under the uniform null; one shuffle, no iteration. α = 0.2
+    keeps ~10% of the gate edges (the synthetic %10 weights are weak
+    signal, so the PNAS default 0.05 keeps nothing here)."""
+    from linkgraph.operators import disparity_backbone
+
+    return disparity_backbone(_graph(spark, sf_dir), alpha=0.2)
+
+
 def _q_onion(spark, sf_dir):
     """Onion decomposition (round 5): every vertex's peel layer and its
     core number, the within-shell refinement of coreness."""
@@ -1259,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "cosine_dups": _q_cosine_dups,
         "knn_join": _q_knn_join,
+        "simrank3": _q_simrank3,
+        "backbone": _q_backbone,
     }
 
 
@@ -1302,6 +1337,10 @@ def oracle_sql() -> dict[str, str]:
             min_sim=0.3, num_bits=4, dim=64, num_bands=2
         ),
         "knn_join": osql.knn_join_sql(k=5, num_bits=4, dim=64, num_bands=2),
+        "simrank3": osql.simrank_sql(
+            iterations=3, decay=0.8, top_k=50, num_vertices=256
+        ),
+        "backbone": osql.backbone_sql(alpha=0.2),
         "lsh_knn_batch": osql.lsh_knn_batch_sql(
             qids=[0, 1, 2, 3, 4], k=5, num_bits=4, dim=64, num_bands=2
         ),

@@ -12,6 +12,7 @@ from linkgraph.operators.anf import (
     neighborhood_function,
     neighborhood_function_exact,
 )
+from linkgraph.operators.backbone import disparity_backbone
 from linkgraph.operators.betweenness import betweenness
 from linkgraph.operators.bfs import bfs
 from linkgraph.operators.cocitation import bibliographic_coupling, cocitation
@@ -39,6 +40,7 @@ from linkgraph.operators.featprop import feature_propagation
 from linkgraph.operators.mst import minimum_spanning_forest
 from linkgraph.operators.pagerank import pagerank, personalized_pagerank
 from linkgraph.operators.scc import bowtie_census, scc, scc_census
+from linkgraph.operators.simrank import simrank
 from linkgraph.operators.spmv import spmv
 from linkgraph.operators.sampling import ego_network
 from linkgraph.operators.stats import (
@@ -101,7 +103,9 @@ __all__ = [
     "minimum_spanning_forest",
     "feature_propagation",
     "adamic_adar",
+    "disparity_backbone",
     "jaccard_pairs",
+    "simrank",
     "pagerank",
     "louvain_move",
     "spmv",

@@ -3831,3 +3831,96 @@ GROUP BY e.vec_id
 ORDER BY adist ASC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def simrank_sql(
+    iterations: int = 3,
+    decay: float = 0.8,
+    top_k: int = 50,
+    num_vertices: int | None = None,
+) -> str:
+    """Unrolled SimRank fixpoint (operators/simrank.py): per round, the
+    previous OFF-DIAGONAL canonical scores are expanded to both
+    orientations plus the implicit diagonal (s(i,i)=1), pushed through
+    one in-edge join per side, re-canonicalized (a < b) and scaled by
+    C/(|I(a)|·|I(b)|). The cut line orders by the ROUNDED score (the
+    adamic_adar convention) so both engines agree despite float
+    summation order. ``num_vertices`` gates on the induced subgraph of
+    ids < num_vertices (the gate runs V=256 — exact all-pairs SimRank is
+    quadratic by construction, so the cut keeps both engines linear-ish)."""
+    v = num_vertices if num_vertices is not None else NUM_VERTICES
+    parts = [
+        f"""ein AS MATERIALIZED (
+    SELECT src AS i, dst AS v FROM edges WHERE src < {v} AND dst < {v}
+),
+verts AS (SELECT CAST(range AS BIGINT) AS id FROM range({v})),
+ind AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM ein GROUP BY v),
+s0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+              CAST(NULL AS DOUBLE) AS s WHERE FALSE)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"""p{k} AS (
+    SELECT a AS pa, b AS pb, s FROM s{k - 1}
+    UNION ALL
+    SELECT b AS pa, a AS pb, s FROM s{k - 1}
+    UNION ALL
+    SELECT id AS pa, id AS pb, 1.0 AS s FROM verts
+),
+s{k} AS MATERIALIZED (
+    SELECT ea.v AS a, eb.v AS b,
+           {decay} * SUM(p.s) / (da.d * db.d) AS s
+    FROM p{k} p
+    JOIN ein ea ON ea.i = p.pa
+    JOIN ein eb ON eb.i = p.pb
+    JOIN ind da ON da.v = ea.v
+    JOIN ind db ON db.v = eb.v
+    WHERE ea.v < eb.v
+    GROUP BY ea.v, eb.v, da.d, db.d
+)"""
+        )
+    return f"""
+WITH {EDGES_SQL},
+{",".join(parts)}
+SELECT a, b, ROUND(s, 6) AS sim FROM s{iterations}
+ORDER BY sim DESC, a ASC, b ASC
+LIMIT {top_k}
+"""
+
+
+def backbone_sql(alpha: float = 0.05) -> str:
+    """DuckDB twin of operators/backbone.py::disparity_backbone — the
+    Serrano-Boguñá-Vespignani filter over the canonical undirected
+    synthetic-weight edges. Strengths are exact (integer-valued
+    weights), the significance test compares the α rounded to 9
+    decimals (java Math.pow vs libm pow last-ulp guard), and the
+    degenerate s = 0 endpoint (all-zero incident weights) pins α = 1
+    instead of a NaN whose ordering differs across engines."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+ew AS (SELECT a, b, CAST(a % 10 + b % 10 AS DOUBLE) AS w FROM canon),
+inc AS (
+    SELECT a AS v, w FROM ew
+    UNION ALL
+    SELECT b AS v, w FROM ew
+),
+vs AS (SELECT v, SUM(w) AS s, COUNT(*) AS k FROM inc GROUP BY v),
+sig AS (
+    SELECT e.a, e.b, e.w,
+           ROUND(LEAST(
+               CASE WHEN va.s > 0
+                    THEN POWER(1.0 - e.w / va.s, va.k - 1) ELSE 1.0 END,
+               CASE WHEN vb.s > 0
+                    THEN POWER(1.0 - e.w / vb.s, vb.k - 1) ELSE 1.0 END
+           ), 9) AS am
+    FROM ew e JOIN vs va ON va.v = e.a JOIN vs vb ON vb.v = e.b
+)
+SELECT a, b, w AS weight, ROUND(am, 6) AS alpha_min
+FROM sig WHERE am < {alpha}
+ORDER BY a ASC, b ASC
+"""

@@ -523,6 +523,33 @@ def main() -> None:
         .collect(),
         repeats=3,
     )
+    # round 5 (final session): disparity backbone (one shuffle, full gate
+    # graph) and SimRank on the 256-vertex induced subgraph — exact
+    # all-pairs SimRank is Θ(pairs·deg²)/round so the full graph is its
+    # own documented scale-killer; the induced cell matches the gate and
+    # oracle configuration
+    from linkgraph.graph import Graph as _Graph
+    from linkgraph.operators import disparity_backbone as _bb
+    from linkgraph.operators import simrank as _sr
+
+    timed(
+        "backbone",
+        lambda: _bb(g, alpha=0.2).agg(F.sum("alpha_min")).collect(),
+        repeats=3,
+    )
+    sub_g = _Graph.from_edges(
+        spark,
+        g.edges.filter((F.col("src") < 256) & (F.col("dst") < 256)),
+        num_vertices=256,
+        persist=False,
+    )
+    timed(
+        "simrank3",
+        lambda: _sr(sub_g, iterations=3, decay=0.8, top_k=50)
+        .agg(F.sum("sim"))
+        .collect(),
+        repeats=3,
+    )
 
     def drop_all_cached():
         """Free every cached DataFrame and persistent RDD before the next

@@ -72,6 +72,8 @@ ALGOS = (
     "ego_network",
     "spam_mass",
     "ppr_sweep",
+    "simrank",
+    "backbone",
 )
 # training-data pipeline stages over a documents table (--docs input)
 DOC_ALGOS = (
@@ -445,6 +447,19 @@ def main(argv: list[str] | None = None) -> int:
             g, source=args.root_vertex, iterations=args.iterations,
             k=args.sweep_k,
         )
+    elif args.algo == "simrank":
+        from linkgraph.operators import simrank
+
+        # production defaults: eps floor + p99-ish hub cap keep the pair
+        # state sparse (the exact gate config is oracle-parity only)
+        result = simrank(
+            g, iterations=args.iterations, top_k=args.sweep_k,
+            eps=1e-4, max_out_degree=256,
+        )
+    elif args.algo == "backbone":
+        from linkgraph.operators import disparity_backbone
+
+        result = disparity_backbone(g, alpha=0.05)
     else:
         result = spmv(g)  # single join-agg pass — nothing to resume
 

@@ -899,6 +899,16 @@ def _q_betweenness8(spark, sf_dir):
     return betweenness(_graph(spark, sf_dir), sources=list(range(8)))
 
 
+def _q_edge_betweenness8(spark, sf_dir):
+    """Seeded Girvan-Newman edge betweenness from sources 0-7 (round 5)
+    — the edge companion of betweenness8, sharing the forward strata;
+    per-DAG-edge σ/σ·(1+δ) terms accumulated into one final (src, dst)
+    aggregate."""
+    from linkgraph.operators import edge_betweenness
+
+    return edge_betweenness(_graph(spark, sf_dir), sources=list(range(8)))
+
+
 def _q_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (round 4) — salient-term
     extraction for the corpus pipeline; tfidf rounded to 6 dp before the
@@ -1293,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dups": _q_cosine_dups,
         "knn_join": _q_knn_join,
         "simrank3": _q_simrank3,
+        "edge_betweenness8": _q_edge_betweenness8,
         "backbone": _q_backbone,
     }
 
@@ -1341,6 +1352,9 @@ def oracle_sql() -> dict[str, str]:
             iterations=3, decay=0.8, top_k=50, num_vertices=256
         ),
         "backbone": osql.backbone_sql(alpha=0.2),
+        "edge_betweenness8": osql.edge_betweenness_sql(
+            sources=list(range(8)), levels=8
+        ),
         "lsh_knn_batch": osql.lsh_knn_batch_sql(
             qids=[0, 1, 2, 3, 4], k=5, num_bits=4, dim=64, num_bands=2
         ),

@@ -362,6 +362,15 @@ def main() -> None:
         .collect(),
         repeats=3,
     )
+    from linkgraph.operators import edge_betweenness as _ebc
+
+    timed(
+        "edge_betweenness8",
+        lambda: _ebc(g, sources=list(range(8)))
+        .agg(F.sum("betweenness"))
+        .collect(),
+        repeats=3,
+    )
     timed(
         "mis",
         lambda: maximal_independent_set(g)

@@ -13,7 +13,7 @@ from linkgraph.operators.anf import (
     neighborhood_function_exact,
 )
 from linkgraph.operators.backbone import disparity_backbone
-from linkgraph.operators.betweenness import betweenness
+from linkgraph.operators.betweenness import betweenness, edge_betweenness
 from linkgraph.operators.bfs import bfs
 from linkgraph.operators.cocitation import bibliographic_coupling, cocitation
 from linkgraph.operators.coloring import graph_coloring
@@ -104,6 +104,7 @@ __all__ = [
     "feature_propagation",
     "adamic_adar",
     "disparity_backbone",
+    "edge_betweenness",
     "jaccard_pairs",
     "simrank",
     "pagerank",

@@ -2385,6 +2385,68 @@ FROM vertices v LEFT JOIN (
 """
 
 
+def edge_betweenness_sql(sources: list[int], levels: int = 8) -> str:
+    """DuckDB twin of operators.betweenness.edge_betweenness — the same
+    unrolled forward-σ/backward-δ strata as betweenness_sql, emitting the
+    per-DAG-edge term σ_u/σ_v·(1+δ_v) for every stratum-crossing edge
+    instead of the vertex dependency; edges on no shortest path from the
+    seed set report 0."""
+    seed_rows = ", ".join(f"({s}::BIGINT)" for s in sources)
+    parts = [
+        f"""l0 AS MATERIALIZED (
+    SELECT s.source, s.source AS id, 1.0::DOUBLE AS sigma
+    FROM (SELECT * FROM (VALUES {seed_rows}) t(source)) s
+),
+vis0 AS MATERIALIZED (SELECT source, id FROM l0)"""
+    ]
+    for t in range(1, levels + 1):
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+    SELECT f.source, e.dst AS id, SUM(f.sigma) AS sigma
+    FROM l{t - 1} f JOIN edges e ON e.src = f.id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM vis{t - 1} v WHERE v.source = f.source AND v.id = e.dst
+    )
+    GROUP BY f.source, e.dst
+),
+vis{t} AS MATERIALIZED (
+    SELECT source, id FROM vis{t - 1}
+    UNION ALL SELECT source, id FROM l{t}
+)"""
+        )
+    parts.append(
+        f"d{levels} AS (SELECT source, id, sigma, 0.0::DOUBLE AS delta FROM l{levels})"
+    )
+    for t in range(levels - 1, -1, -1):
+        parts.append(
+            f"""t{t} AS MATERIALIZED (
+    SELECT f.source, f.id, e.dst,
+           f.sigma / v.sigma * (1.0 + v.delta) AS term
+    FROM l{t} f JOIN edges e ON e.src = f.id
+    JOIN d{t + 1} v ON v.source = f.source AND v.id = e.dst
+),
+c{t} AS (
+    SELECT source, id, SUM(term) AS delta FROM t{t} GROUP BY source, id
+),
+d{t} AS MATERIALIZED (
+    SELECT f.source, f.id, f.sigma, COALESCE(c.delta, 0.0) AS delta
+    FROM l{t} f LEFT JOIN c{t} c ON c.source = f.source AND c.id = f.id
+)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT id, dst, term FROM t{t}" for t in range(0, levels)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {EDGES_SQL},
+{body}
+SELECT e.src, e.dst, ROUND(COALESCE(b.b, 0.0), 6) AS betweenness
+FROM edges e LEFT JOIN (
+    SELECT id AS src, dst, SUM(term) AS b FROM ({union}) GROUP BY id, dst
+) b ON e.src = b.src AND e.dst = b.dst
+"""
+
+
 def closeness_sql(sources: list[int], max_depth: int = 64) -> str:
     """Seeded closeness — the harmonic_sql walk with a count/sum tail
     (reached seeds, reached/sum-dist), operators/harmonic.py

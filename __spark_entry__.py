@@ -238,6 +238,26 @@ def _q_knn_cosine(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def _q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification (round 5): 10 broadcast queries
+    against one candidate scan, modal label of the 10 cosine-nearest with
+    smaller-label tie-break — the labeled-embeddings serving composition."""
+    return similarity.knn_classify(
+        _emb(spark, sf_dir), query_ids=list(range(10)), k=10
+    )
+
+
+def _q_props_rollup(spark, sf_dir):
+    """JSON props analytics (round 5): per-event-type n/sum/avg of the
+    numeric 'k' property — semi-structured payload extraction riding the
+    scan projection, one map-side-combined exchange."""
+    from linkgraph import events as ev
+
+    return ev.props_rollup(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), field="k"
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     return docs.minhash_candidate_pairs(_docs(spark, sf_dir))
 
@@ -1304,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "simrank3": _q_simrank3,
         "edge_betweenness8": _q_edge_betweenness8,
+        "knn_classify": _q_knn_classify,
+        "props_rollup": _q_props_rollup,
         "backbone": _q_backbone,
     }
 
@@ -1355,6 +1377,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_betweenness8": osql.edge_betweenness_sql(
             sources=list(range(8)), levels=8
         ),
+        "knn_classify": osql.knn_classify_sql(query_ids=list(range(10)), k=10),
+        "props_rollup": osql.props_rollup_sql(field="k"),
         "lsh_knn_batch": osql.lsh_knn_batch_sql(
             qids=[0, 1, 2, 3, 4], k=5, num_bits=4, dim=64, num_bands=2
         ),

@@ -512,6 +512,23 @@ def main() -> None:
         .collect(),
         repeats=3,
     )
+    timed(
+        "props_rollup",
+        lambda: _ev.props_rollup(events_df).agg(F.sum("sum_v")).collect(),
+        repeats=3,
+    )
+    # round 5 (final session): brute-force k-NN classification — 50
+    # broadcast queries against one candidate scan + the vote tail
+    from linkgraph.similarity import knn_classify as _knnc
+
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed(
+        "knn_classify50",
+        lambda: _knnc(emb_full, query_ids=list(range(50)), k=10)
+        .agg(F.sum("votes"))
+        .collect(),
+        repeats=3,
+    )
     # round 5 (final session): PageRank-composition kernels — spam mass
     # (global PR + TrustRank PPR over the one persisted adjacency) and
     # the ACL sweep cut (PPR + one broadcast-joined edge scan)

@@ -104,14 +104,14 @@ DOC_ALGOS = (
 # event-stream analytics over an events table (--events input)
 EVENT_ALGOS = (
     "sessionize", "rollup", "funnel", "retention", "transitions",
-    "anomalies", "active_users",
+    "anomalies", "active_users", "props_rollup",
 )
 # ANN index builds over an embeddings table (--embeddings input), plus
 # batch query serving against a written index (--embeddings = the QUERY
 # table, --index = the built index path)
 ANN_ALGOS = (
     "ann_index", "ivf_index", "ann_query", "ivf_query", "semantic_dedup",
-    "pq_index", "pq_query",
+    "pq_index", "pq_query", "knn_classify",
 )
 
 
@@ -220,6 +220,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--algo active_users trailing window size")
     p.add_argument("--anomaly-top-k", type=int, default=20,
                    help="--algo anomalies rows kept by |z|")
+    p.add_argument("--props-field", default="k",
+                   help="--algo props_rollup JSON property name")
+    p.add_argument("--query-ids", default="0",
+                   help="--algo knn_classify comma-separated query vec_ids")
     p.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--num-vertices", type=int, default=None)
@@ -613,6 +617,8 @@ def _run_event_algo(spark: SparkSession, args) -> int:
         result = evmod.active_users(
             events, bucket=args.bucket, window_buckets=args.window_buckets
         )
+    elif args.algo == "props_rollup":
+        result = evmod.props_rollup(events, field=args.props_field)
     else:
         steps = [s.strip() for s in args.steps.split(",") if s.strip()]
         within = args.within_seconds if args.within_seconds > 0 else None
@@ -664,6 +670,13 @@ def _run_ann_index(spark: SparkSession, args) -> int:
             )
         result.write.mode("overwrite").parquet(args.output)
         extra["n_queries"] = len(queries)
+    elif args.algo == "knn_classify":
+        # brute-force majority-vote classification over the labeled
+        # embeddings table; --query-ids picks the rows to classify
+        qids = [int(q) for q in args.query_ids.split(",") if q.strip()]
+        result = similarity.knn_classify(embeddings, query_ids=qids, k=args.topk)
+        result.write.mode("overwrite").parquet(args.output)
+        extra["n_queries"] = len(qids)
     elif args.algo == "semantic_dedup":
         # embedding-space keep-list; honors --checkpoint-root/--run-id
         # (durable multi-stage resume) and writes the dropped-cells audit

@@ -369,3 +369,28 @@ def active_users(
     return per_bucket.join(
         rolling, per_bucket["bucket_us"] == rolling["g_us"]
     ).select("bucket_us", "n_active", "n_active_rolling")
+
+
+def props_rollup(events: DataFrame, field: str = "k") -> DataFrame:
+    """Per-event-type aggregate of a numeric JSON property carried in the
+    ``props`` column — the semi-structured payload analytics every event
+    pipeline grows (props is a JSON string; the reference-style typed
+    columns cover only the fixed schema): (event_type, n, sum_v, avg_v),
+    avg rounded to 6 dp.
+
+    Spark shape: ``get_json_object`` is a JVM expression, so extraction
+    rides the scan projection — rows missing the field drop BEFORE the
+    single map-side-combinable groupBy; nothing but (type, long) pairs
+    shuffles. At 100 TB this is the same one-exchange profile as rollup().
+    """
+    pv = F.get_json_object(F.col("props"), f"$.{field}").cast("long")
+    return (
+        events.select("event_type", pv.alias("pv"))
+        .filter(F.col("pv").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pv").alias("sum_v"),
+            F.round(F.avg("pv"), 6).alias("avg_v"),
+        )
+    )

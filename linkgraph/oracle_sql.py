@@ -1243,6 +1243,61 @@ WHERE GREATEST(c_ab, c_ba) >= {min_containment}
 """
 
 
+def knn_classify_sql(query_ids: list[int], k: int = 10) -> str:
+    """DuckDB twin of similarity.knn_classify: per query, exact cosine
+    against all other rows, 6-dp round BEFORE the rank window (the
+    engine-stable k boundary), modal label with smaller-label tie-break."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+),
+top AS (
+    SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= {k}
+),
+votes AS (
+    SELECT query_id, label, COUNT(*) AS votes
+    FROM top GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, votes FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label ASC
+    ) AS rn FROM votes
+) WHERE rn = 1
+"""
+
+
+def props_rollup_sql(field: str = "k") -> str:
+    """DuckDB twin of events.props_rollup: JSON property extraction +
+    per-type aggregate. TRY_CAST mirrors Spark's null-on-miss cast."""
+    return f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(pv) AS sum_v,
+       ROUND(AVG(pv), 6) AS avg_v
+FROM (
+    SELECT event_type,
+           TRY_CAST(json_extract_string(props, '$.{field}') AS BIGINT) AS pv
+    FROM events
+)
+WHERE pv IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def knn_cosine_sql(query_vec_id: int = 0, k: int = 10) -> str:
     return f"""
 WITH q AS (

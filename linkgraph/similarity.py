@@ -1614,3 +1614,73 @@ def pq_index_topk_batch(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification (Cover & Hart 1967) over the
+    labeled embeddings table: for each query id, the k cosine-nearest
+    OTHER rows vote with their ``label_col``; prediction = the modal
+    label, ties broken by the SMALLER label (both engines agree).
+    Returns (query_id, pred_label, votes).
+
+    Spark shape: the Q query vectors broadcast against ONE scan of the
+    candidates (the batch-serving convention — never a per-query loop),
+    sims rounded to 6 dp BEFORE the per-query rank window so the k
+    boundary is engine-stable (the tf_idf_top_terms rule), then two
+    grouped aggregates (vote count, then argmax as a min-struct — never
+    a second window). This brute-force form is the correctness baseline;
+    at scale serve the neighbor search from the persisted LSH/IVF/PQ
+    indexes (ann_index_batch_topk / ivf_batch_topk / pq_batch_topk) and
+    vote over their shortlists — same vote tail, sublinear candidates.
+    """
+    qids = [int(q) for q in query_ids]
+    q = embeddings.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                _dot("v", "qv") / F.nullif(_norm("v") * _norm("qv"), F.lit(0.0)),
+                6,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = top.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    best = (
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("neg_votes"),
+                    F.col("label").alias("label"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            F.col("m.label").alias("pred_label"),
+            (-F.col("m.neg_votes")).alias("votes"),
+        )
+    )
+    return best

@@ -197,3 +197,70 @@ def test_knn_join_finds_planted_neighbors(spark, planted):
     for vid, ranks in by_vec.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (vid, ranks)
         assert len(ranks) <= 3
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    # 2-D toy: queries 0/1 sit near label-0 and label-1 clusters;
+    # query 2 is equidistant-ish so k=2 forces a 1-1 tie -> smaller label
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0], 9),     # query A (own label never votes for itself)
+        (1, [0.0, 1.0], 9),     # query B
+        (2, [1.0, 1.0], 9),     # query C: tie between labels 0 and 1
+        (10, [0.9, 0.1], 0),
+        (11, [0.95, 0.05], 0),
+        (12, [0.1, 0.9], 1),
+        (13, [0.05, 0.95], 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from linkgraph.similarity import knn_classify
+
+    got = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(df, query_ids=[0, 1, 2], k=2).collect()
+    }
+    assert got[0] == (0, 2)
+    assert got[1] == (1, 2)
+    # query 2: nearest two are one from each cluster (cos sim symmetric),
+    # 1-1 vote -> smaller label wins
+    assert got[2] == (0, 1)
+
+
+def test_knn_classify_matches_numpy_vote(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    vecs = rng.normal(size=(n, d))
+    labels = rng.integers(0, 4, size=n)
+    df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from linkgraph.similarity import knn_classify
+
+    qids, k = [0, 5, 17, 42], 7
+    got = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(df, query_ids=qids, k=k).collect()
+    }
+    # float32 storage: replicate through the same dtype truncation
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(v32, axis=1)
+    for q in qids:
+        sims = np.round((v32 @ v32[q]) / (norms * norms[q]), 6)
+        order = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-sims[i], i)
+        )[:k]
+        votes: dict[int, int] = {}
+        for i in order:
+            votes[int(labels[i])] = votes.get(int(labels[i]), 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        assert got[q] == (pred, votes[pred]), q

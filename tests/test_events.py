@@ -346,3 +346,34 @@ def test_active_users_rejects_unknown_bucket(spark):
     df = _events_df(spark, [(1, "2024-01-01 00:00:00", 1, "view", 1.0)])
     with pytest.raises(ValueError):
         ev.active_users(df, bucket="fortnight")
+
+
+def test_props_rollup_extracts_and_aggregates(spark):
+    # props carry {"k": n}; one malformed row and one missing-field row
+    # must drop before the aggregate (null cast), not poison it
+    df = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 10}'),
+            (2, "click", '{"k": 4}'),
+            (3, "view", '{"k": 7}'),
+            (4, "view", '{"other": 9}'),
+            (5, "view", "not json"),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    got = {
+        r["event_type"]: (r["n"], r["sum_v"], r["avg_v"])
+        for r in ev.props_rollup(df, field="k").collect()
+    }
+    assert got == {"click": (2, 14, 7.0), "view": (1, 7, 7.0)}
+
+
+def test_props_rollup_custom_field(spark):
+    df = spark.createDataFrame(
+        [(1, "a", '{"x": 3, "k": 1}'), (2, "a", '{"x": 5}')],
+        "event_id long, event_type string, props string",
+    )
+    got = ev.props_rollup(df, field="x").collect()
+    assert [(r["event_type"], r["n"], r["sum_v"], r["avg_v"]) for r in got] == [
+        ("a", 2, 8, 4.0)
+    ]

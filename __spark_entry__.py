@@ -567,6 +567,28 @@ def _q_adamic_adar(spark, sf_dir):
     return adamic_adar(_graph(spark, sf_dir), top_k=50, max_center_degree=None)
 
 
+def _q_resource_alloc(spark, sf_dir):
+    """Top-50 non-adjacent pairs by resource-allocation index (round 5)
+    — Adamic-Adar's 1/deg hub discount (Zhou-Lü-Zhang 2009); uncapped
+    for oracle parity, auto cap is the API default."""
+    from linkgraph.operators import resource_allocation
+
+    return resource_allocation(
+        _graph(spark, sf_dir), top_k=50, max_center_degree=None
+    )
+
+
+def _q_pref_attach(spark, sf_dir):
+    """Top-50 non-adjacent pairs by preferential attachment (round 5) —
+    deg(a)·deg(b) over the top-128 degree candidate pool (the provable
+    container of the top-k product pairs), broadcast pool self-join."""
+    from linkgraph.operators import preferential_attachment
+
+    return preferential_attachment(
+        _graph(spark, sf_dir), top_k=50, candidate_pool=128
+    )
+
+
 def _q_harmonic8(spark, sf_dir):
     """Seeded harmonic centrality from sources 0-7 via multi-source BFS
     (round 4) — all 8 traversals advance in ONE job per level."""
@@ -1326,6 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness8": _q_edge_betweenness8,
         "knn_classify": _q_knn_classify,
         "props_rollup": _q_props_rollup,
+        "resource_alloc": _q_resource_alloc,
+        "pref_attach": _q_pref_attach,
         "backbone": _q_backbone,
     }
 
@@ -1379,6 +1403,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_classify": osql.knn_classify_sql(query_ids=list(range(10)), k=10),
         "props_rollup": osql.props_rollup_sql(field="k"),
+        "resource_alloc": osql.resource_allocation_sql(top_k=50),
+        "pref_attach": osql.preferential_attachment_sql(
+            top_k=50, candidate_pool=128
+        ),
         "lsh_knn_batch": osql.lsh_knn_batch_sql(
             qids=[0, 1, 2, 3, 4], k=5, num_bits=4, dim=64, num_bands=2
         ),

@@ -32,7 +32,12 @@ from linkgraph.operators.landmarks import (
     landmark_distances,
     select_landmarks,
 )
-from linkgraph.operators.linkpred import adamic_adar, jaccard_pairs
+from linkgraph.operators.linkpred import (
+    adamic_adar,
+    jaccard_pairs,
+    preferential_attachment,
+    resource_allocation,
+)
 from linkgraph.operators.louvain import louvain_move
 from linkgraph.operators.matching import maximal_matching, maximal_weight_matching
 from linkgraph.operators.mis import maximal_independent_set
@@ -103,6 +108,8 @@ __all__ = [
     "minimum_spanning_forest",
     "feature_propagation",
     "adamic_adar",
+    "resource_allocation",
+    "preferential_attachment",
     "disparity_backbone",
     "edge_betweenness",
     "jaccard_pairs",

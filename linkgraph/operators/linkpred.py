@@ -144,3 +144,75 @@ def jaccard_pairs(
         )
     )
     return scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def resource_allocation(
+    graph: Graph,
+    top_k: int = 50,
+    max_center_degree: "int | str | None" = "auto",
+) -> DataFrame:
+    """Top-``top_k`` non-adjacent pairs (a < b) by the resource-allocation
+    index (Zhou, Lü & Zhang, EPJ B 2009): ra(a,b) = Σ_{w ∈ N(a)∩N(b)}
+    1/deg(w) — Adamic-Adar's harder hub discount (1/d vs 1/ln d), the
+    best-performing local index in the RA paper's benchmark. Same wedge
+    pass, hub cap, rounded-score cut line, and TakeOrdered top-k as
+    :func:`adamic_adar`. Returns (a, b, cn, ra)."""
+    canon = graph.canonical_undirected_edges()
+    sym = canon.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        canon.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = sym.groupBy("w").agg(F.count("*").alias("d"))
+    cap = _resolve_center_cap(deg, max_center_degree)
+    if cap is not None:
+        deg = deg.filter(F.col("d") <= cap)
+    # d >= 1 always (the center has the wedge edges themselves), so 1/d
+    # needs no ANSI guard — unlike 1/ln(d), which is why adamic_adar does
+    sd = sym.join(deg, "w").select(
+        "w", "x", (F.lit(1.0) / F.col("d")).alias("inv_d")
+    )
+    s1 = sd.select("w", F.col("x").alias("a"), "inv_d")
+    s2 = sd.select("w", F.col("x").alias("b"))
+    scored = (
+        s1.join(s2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.round(F.sum("inv_d"), 6).alias("ra"),
+        )
+        .join(canon, ["a", "b"], "left_anti")
+    )
+    return scored.orderBy(F.desc("ra"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def preferential_attachment(
+    graph: Graph,
+    top_k: int = 50,
+    candidate_pool: int = 128,
+) -> DataFrame:
+    """Top-``top_k`` non-adjacent pairs (a < b) by preferential attachment
+    pa(a,b) = deg(a)·deg(b) (Barabási-Albert growth score). Unlike the
+    wedge indexes, pa is defined on ALL non-adjacent pairs — O(V²) naive —
+    but the top-k by a product of degrees can only involve the highest-
+    degree vertices: the top-``candidate_pool`` vertices by (deg DESC, id)
+    provably contain every top-k pair as long as fewer than
+    ``candidate_pool``−k of their C(pool,2) pairs are adjacent (pool²/2 ≫
+    k + pool·max_clique in practice; raise the pool if the graph's top
+    hubs form a near-clique). Spark shape: ONE TakeOrdered of pool rows →
+    broadcast self-join (pool² rows, driver-independent) → anti-join on
+    the canonical edges → TakeOrdered top-k. Returns (a, b, pa)."""
+    canon = graph.canonical_undirected_edges()
+    sym = canon.select(F.col("a").alias("w")).unionByName(
+        canon.select(F.col("b").alias("w"))
+    )
+    deg = sym.groupBy("w").agg(F.count("*").alias("d"))
+    pool = deg.orderBy(F.desc("d"), F.asc("w")).limit(int(candidate_pool))
+    pa = pool.select(F.col("w").alias("a"), F.col("d").alias("da"))
+    pb = pool.select(F.col("w").alias("b"), F.col("d").alias("db"))
+    pairs = (
+        F.broadcast(pa)
+        .join(F.broadcast(pb), F.col("a") < F.col("b"))
+        .select("a", "b", (F.col("da") * F.col("db")).alias("pa"))
+        .join(canon, ["a", "b"], "left_anti")
+    )
+    return pairs.orderBy(F.desc("pa"), F.asc("a"), F.asc("b")).limit(top_k)

@@ -2319,6 +2319,72 @@ LIMIT {top_k}
 """
 
 
+def resource_allocation_sql(top_k: int = 50) -> str:
+    """DuckDB twin of operators.linkpred.resource_allocation — the
+    adamic_adar wedge join with the 1/deg(w) hub discount and the
+    rounded-score cut line."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT a AS w, b AS x FROM canon
+    UNION ALL
+    SELECT b AS w, a AS x FROM canon
+),
+deg AS (SELECT w AS id, COUNT(*) AS d FROM sym GROUP BY w),
+sd AS (
+    SELECT s.w, s.x, 1.0 / d.d AS inv_d
+    FROM sym s JOIN deg d ON s.w = d.id
+),
+scored AS (
+    SELECT s1.x AS a, s2.x AS b,
+           COUNT(*) AS cn,
+           ROUND(SUM(s1.inv_d), 6) AS ra
+    FROM sd s1 JOIN sd s2 ON s1.w = s2.w AND s1.x < s2.x
+    GROUP BY s1.x, s2.x
+)
+SELECT s.a, s.b, s.cn, s.ra
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = s.a AND c.b = s.b)
+ORDER BY s.ra DESC, s.a ASC, s.b ASC
+LIMIT {top_k}
+"""
+
+
+def preferential_attachment_sql(top_k: int = 50, candidate_pool: int = 128) -> str:
+    """DuckDB twin of operators.linkpred.preferential_attachment — the
+    same top-``candidate_pool`` degree prefilter (deg DESC, id ASC), pair
+    product, adjacency anti-join, (pa DESC, a, b) cut."""
+    return f"""
+WITH {EDGES_SQL},
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT a AS w FROM canon UNION ALL SELECT b AS w FROM canon
+),
+deg AS (SELECT w, COUNT(*) AS d FROM sym GROUP BY w),
+pool AS (
+    SELECT w, d FROM deg ORDER BY d DESC, w ASC LIMIT {candidate_pool}
+),
+pairs AS (
+    SELECT p1.w AS a, p2.w AS b, p1.d * p2.d AS pa
+    FROM pool p1 JOIN pool p2 ON p1.w < p2.w
+)
+SELECT p.a, p.b, p.pa
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = p.a AND c.b = p.b)
+ORDER BY p.pa DESC, p.a ASC, p.b ASC
+LIMIT {top_k}
+"""
+
+
 def jaccard_pairs_sql(top_k: int = 50) -> str:
     """DuckDB twin of operators.linkpred.jaccard_pairs — the adamic_adar
     wedge join with a degree-sum union size and the rounded-score cut."""

@@ -398,3 +398,70 @@ def test_rectangle_count_brute_force_random(spark):
     got = rectangle_count(g, max_center_degree=None).collect()[0]["rectangles"]
     g.unpersist()
     assert got == want
+
+
+def test_resource_allocation_matches_python(spark):
+    import numpy as np
+
+    from linkgraph.operators import resource_allocation
+    from tests.conftest import make_graph, zipf_edges
+
+    edges, n = zipf_edges(n=100, m=500)
+    g = make_graph(spark, edges, n)
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                want[(a, b)] = (
+                    len(common),
+                    round(sum(1.0 / len(adj[w]) for w in common), 6),
+                )
+    rows = resource_allocation(
+        g, top_k=10_000, max_center_degree=None
+    ).collect()
+    got = {(r["a"], r["b"]): (r["cn"], r["ra"]) for r in rows}
+    assert got == want
+    g.unpersist()
+
+
+def test_preferential_attachment_top_pairs(spark):
+    import numpy as np
+
+    from linkgraph.operators import preferential_attachment
+    from tests.conftest import make_graph, zipf_edges
+
+    edges, n = zipf_edges(n=100, m=500)
+    g = make_graph(spark, edges, n)
+    adj = {v: set() for v in range(n)}
+    deg = {v: 0 for v in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    for v in adj:
+        deg[v] = len(adj[v])
+    want = sorted(
+        (
+            (-deg[a] * deg[b], a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if deg[a] and deg[b] and b not in adj[a]
+        ),
+    )[:20]
+    want = [(a, b, -negpa) for negpa, a, b in want]
+    got = [
+        (r["a"], r["b"], r["pa"])
+        for r in preferential_attachment(
+            g, top_k=20, candidate_pool=100
+        ).collect()
+    ]
+    assert got == want
+    g.unpersist()

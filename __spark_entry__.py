@@ -1225,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": _q_modularity,
         "ktruss4": _q_ktruss4,
         "betweenness8": _q_betweenness8,
+        "edge_betweenness8": _q_edge_betweenness8,
+        "simrank3": _q_simrank3,
+        "backbone": _q_backbone,
         "mis": _q_mis,
         "matching": _q_matching,
         "msf": _q_msf,
@@ -1235,24 +1238,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup": _q_docs_dedup,
         "docs_token_stats": _q_docs_token_stats,
         "quality_filter": _q_quality_filter,
-        "quality_clf": _q_quality_clf,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "docs_despan": _q_docs_despan,
         "tfidf": _q_tfidf,
         "lm_score": _q_lm_score,
-        "pmi": _q_pmi,
         "bpe": _q_bpe,
-        "chunks": _q_chunks,
         "pack": _q_pack,
         "dsir": _q_dsir,
         "para_dedup": _q_para_dedup,
         "quantile_buckets": _q_quantile_buckets,
         "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition_stats,
         # --- similarity / ANN
         "lsh_knn": _q_lsh_knn,
+        "knn_classify": _q_knn_classify,
         # --- events
         "sessionize": _q_sessionize,
         # ---------------- 50-query window boundary ----------------
@@ -1273,6 +1273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # loop, shape shared with hits5/pagerank10) and retention (events
         # surface shared with sessionize) yielded their window slots to the
         # round-5 louvain and bowtie kernels, whose machinery is novel.
+        "quality_clf": _q_quality_clf,
+        "repetition_stats": _q_repetition_stats,
+        "pmi": _q_pmi,
+        "chunks": _q_chunks,
         "matching_weighted": _q_matching_weighted,
         "katz": _q_katz,
         "retention": _q_retention,
@@ -1344,13 +1348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "cosine_dups": _q_cosine_dups,
         "knn_join": _q_knn_join,
-        "simrank3": _q_simrank3,
-        "edge_betweenness8": _q_edge_betweenness8,
-        "knn_classify": _q_knn_classify,
         "props_rollup": _q_props_rollup,
         "resource_alloc": _q_resource_alloc,
         "pref_attach": _q_pref_attach,
-        "backbone": _q_backbone,
     }
 
 
@@ -1466,6 +1466,10 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": osql.bowtie_sql(),
         "louvain": osql.louvain_sql(rounds=4),
         "matching": osql.matching_sql(seed=42, rounds=12),
+        "quality_clf": _q_quality_clf,
+        "repetition_stats": _q_repetition_stats,
+        "pmi": _q_pmi,
+        "chunks": _q_chunks,
         "matching_weighted": osql.weighted_matching_sql(rounds=56),
         "msf": osql.msf_sql(rounds=12),
         "featprop": osql.featprop_sql(hops=2, dims=8),

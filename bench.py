@@ -295,6 +295,22 @@ def main() -> None:
         n_edges * pr_iters / timings["pagerank_conv"], 1
     )
 
+    # warm-start A/B (round 5): re-converging FROM the converged state —
+    # the delta-crawl re-rank floor (state load + one convergence check)
+    warm_base = pagerank(g, tol=1e-6, max_iterations=200).localCheckpoint(
+        eager=True
+    )
+    warm_info: dict = {}
+    timed(
+        "pagerank_conv_warm",
+        lambda: pagerank(
+            g, tol=1e-6, max_iterations=200, info=warm_info,
+            init_state=warm_base,
+        ).count(),
+        repeats=3,
+    )
+    extras["pr_warm_iterations"] = warm_info["iterations"]
+
     timed("pagerank10", lambda: pagerank(g, iterations=10).count(), repeats=3)
     timed("wcc", lambda: wcc(g).count(), repeats=3)
     timed("labelprop5", lambda: label_propagation(g, iterations=5).count(), repeats=3)

@@ -179,3 +179,58 @@ def test_spam_mass_separates_farm_from_trust_neighborhood(spark):
     # the seed itself holds concentrated teleport: negative mass, kept
     assert rows[0]["spam_mass"] < 0.0
     g.unpersist()
+
+
+def test_pagerank_warm_start_converges_faster_after_delta(spark):
+    from tests.conftest import zipf_edges
+
+    edges, n = zipf_edges(n=200, m=1500, seed=3)
+    g = make_graph(spark, edges, n)
+    cold_info: dict = {}
+    base = pagerank(g, tol=1e-6, max_iterations=200, info=cold_info)
+    base_rows = base.collect()
+    g.unpersist()
+
+    # delta graph: 1% extra edges appended deterministically
+    extra = np.array(
+        [[(7 * i) % n, (11 * i + 3) % n] for i in range(15)], dtype=np.int64
+    )
+    edges2 = np.vstack([edges, extra])
+    g2 = make_graph(spark, edges2, n)
+    warm_info: dict = {}
+    warm = pagerank(
+        g2,
+        tol=1e-6,
+        max_iterations=200,
+        info=warm_info,
+        init_state=spark.createDataFrame(base_rows),
+    )
+    cold2_info: dict = {}
+    cold2 = pagerank(g2, tol=1e-6, max_iterations=200, info=cold2_info)
+    # same fixpoint (init-independent), 2x tol for the two convergence paths
+    got_w, got_c = _ranks_array(warm, n), _ranks_array(cold2, n)
+    assert np.allclose(got_w, got_c, atol=2e-6)
+    # the operational payoff: warm start needs strictly fewer rounds
+    assert warm_info["iterations"] < cold2_info["iterations"], (
+        warm_info,
+        cold2_info,
+    )
+    g2.unpersist()
+
+
+def test_pagerank_warm_start_new_vertices_get_init_rank(spark):
+    # init_state covers only vertex 0; missing rows must start at
+    # init_rank, and a stale row for a vertex outside the graph drops
+    edges = np.array([[0, 1], [1, 0]])
+    g = make_graph(spark, edges, 2)
+    init = spark.createDataFrame(
+        [(0, 0.5), (99, 9.9)], "id long, rank double"
+    )
+    one = pagerank(g, iterations=1, init_state=init).collect()
+    got = {r["id"]: r["rank"] for r in one}
+    assert set(got) == {0, 1}
+    # after 1 round from (0.5, 0.15): rank(1) = 0.15/2*... teleport (1-d)/n
+    # = 0.075 + 0.85*0.5 = 0.5 (deg(0)=1); rank(0) = 0.075 + 0.85*0.15
+    assert got[1] == pytest.approx(0.075 + 0.85 * 0.5)
+    assert got[0] == pytest.approx(0.075 + 0.85 * 0.15)
+    g.unpersist()

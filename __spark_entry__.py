@@ -1466,10 +1466,6 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": osql.bowtie_sql(),
         "louvain": osql.louvain_sql(rounds=4),
         "matching": osql.matching_sql(seed=42, rounds=12),
-        "quality_clf": _q_quality_clf,
-        "repetition_stats": _q_repetition_stats,
-        "pmi": _q_pmi,
-        "chunks": _q_chunks,
         "matching_weighted": osql.weighted_matching_sql(rounds=56),
         "msf": osql.msf_sql(rounds=12),
         "featprop": osql.featprop_sql(hops=2, dims=8),

@@ -220,6 +220,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="--algo active_users trailing window size")
     p.add_argument("--anomaly-top-k", type=int, default=20,
                    help="--algo anomalies rows kept by |z|")
+    p.add_argument("--init-ranks", default=None,
+                   help="--algo pagerank warm-start state parquet (id, rank)")
     p.add_argument("--props-field", default="k",
                    help="--algo props_rollup JSON property name")
     p.add_argument("--query-ids", default="0",
@@ -310,7 +312,15 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.monotonic()
     if args.algo == "pagerank":
-        result = pagerank(g, iterations=args.iterations, tol=args.tol, store=store)
+        # --init-ranks: warm-start from a prior run's (id, rank) parquet —
+        # the delta-crawl re-rank path (fixpoint is init-independent)
+        init_state = (
+            spark.read.parquet(args.init_ranks) if args.init_ranks else None
+        )
+        result = pagerank(
+            g, iterations=args.iterations, tol=args.tol, store=store,
+            init_state=init_state,
+        )
     elif args.algo == "wcc":
         result = wcc(g, store=store)
     elif args.algo == "labelprop":

@@ -691,6 +691,23 @@ def main() -> None:
             .agg(F.sum("harmonic"))
             .collect(),
         )
+        # round-5 final-session operators at plan-dominant scale:
+        # disparity backbone (single wide shuffle over 50M edges) and
+        # seeded edge betweenness (same forward strata as harmonic4 +
+        # the per-stratum backward join)
+        from linkgraph.operators import disparity_backbone as _bb_big
+        from linkgraph.operators import edge_betweenness as _ebc_big
+
+        timed_big(
+            "backbone",
+            lambda: _bb_big(bg, alpha=0.2).agg(F.sum("alpha_min")).collect(),
+        )
+        timed_big(
+            "edge_betweenness4",
+            lambda: _ebc_big(bg, sources=[0, 1, 2, 3])
+            .agg(F.sum("betweenness"))
+            .collect(),
+        )
         # HyperANF effective diameter at 2^20 vertices: lg_k=8 keeps the
         # sketch state at V x ~256 B ≈ 270 MB; rounds = effective
         # diameter of the Zipf hub graph (single digits), one
@@ -956,6 +973,41 @@ def main() -> None:
             for r in brute_topk_many(emb, queries, k=10).collect():
                 brute.setdefault(r["qid"], []).append(r["vec_id"])
             timings["bigann_brute_pass"] = round(time.monotonic() - t, 3)
+
+            # round-5 final session: k-NN classification at 1M vectors —
+            # labels = the planted cluster id (vec_id % VEC_CLUSTERS), so
+            # vote accuracy against the query's own cluster is a ground-
+            # truth accuracy, not just a wall time
+            from linkgraph.similarity import knn_classify as _knnc_big
+
+            t = time.monotonic()
+            preds = {
+                r["query_id"]: r["pred_label"]
+                for r in _knnc_big(
+                    emb.select(
+                        "vec_id",
+                        "embedding",
+                        (F.col("vec_id") % VEC_CLUSTERS).cast("int").alias("label"),
+                    ),
+                    query_ids=sorted(queries),
+                    k=10,
+                    score="matmul",
+                ).collect()
+            }
+            wall = time.monotonic() - t
+            timings["bigknn_classify"] = round(wall, 3)
+            big_stats["knn_classify_ms_per_query"] = round(
+                1000.0 * wall / len(queries), 1
+            )
+            big_stats["knn_classify_cluster_accuracy"] = round(
+                sum(
+                    1.0
+                    for q, p in preds.items()
+                    if p == q % VEC_CLUSTERS
+                )
+                / len(preds),
+                4,
+            )
 
             t = time.monotonic()
             n_hit = total = 0

@@ -264,3 +264,19 @@ def test_knn_classify_matches_numpy_vote(spark):
             votes[int(labels[i])] = votes.get(int(labels[i]), 0) + 1
         pred = min(votes, key=lambda l: (-votes[l], l))
         assert got[q] == (pred, votes[pred]), q
+
+
+def test_knn_classify_matmul_path_agrees_with_sql(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    from linkgraph.similarity import knn_classify
+
+    qids = [0, 13, 77, 240, 499]
+    a = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(emb, query_ids=qids, k=7).collect()
+    }
+    b = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(emb, query_ids=qids, k=7, score="matmul").collect()
+    }
+    assert a == b

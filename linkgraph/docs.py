@@ -138,35 +138,49 @@ def repetition_stats(documents: DataFrame, n: int = 2) -> DataFrame:
     fraction claimed by the single most frequent n-gram. High values flag
     boilerplate/spam; Gopher drops docs above per-n thresholds.
 
-    Plan shape: the raw n-gram stream (the shingle machinery — tokenize
-    bound once per doc) into two partial-agg groupBys keyed by
-    (doc_id, ngram) then doc_id — no joins beyond the final row-preserving
-    left join back to the corpus; zero-gram docs report 0.0 (ANSI-safe
-    guards, not bare division)."""
-    ng = _shingle_stream(documents, n)
-    grp = ng.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
-    per = grp.groupBy("doc_id").agg(
-        F.sum("c").alias("total"),
-        F.count("*").alias("dist"),
-        F.max("c").alias("topc"),
+    Plan shape: fully ROW-LOCAL — the n-gram multiset is a per-document
+    quantity, so total/distinct/top-count are computed inside one
+    projection over the doc's sorted n-gram array (array_sort + one
+    run-length fold), with the n-gram construction bound once per doc
+    via the one-element-array lambda (the _shingle_stream pattern).
+    Zero shuffles and no joins (the former explode → groupBy(doc_id,
+    ngram) → groupBy(doc_id) → join-back shape exchanged the O(total
+    n-grams) string stream twice; measured 10.3 s → see
+    OPTIMIZATION_r06.md). Zero-gram docs report 0.0 (ANSI-safe guards,
+    not bare division)."""
+    k = n
+    ngrams = (
+        f"transform(array({_TOKENIZE}), t -> "
+        f"transform(sequence(0, greatest(size(t) - {k}, 0)), "
+        f"i -> array_join(slice(t, i + 1, {k}), ' ')))[0]"
     )
-    tot = F.col("total").cast("double")
-    return (
-        documents.select("doc_id")
-        .join(per, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("total"), F.lit(0)).cast("long").alias("n_ngrams"),
-            F.when(
-                F.col("total") > 0,
-                F.round((F.col("total") - F.col("dist")) / tot, 6),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("dup_ngram_frac"),
-            F.when(F.col("total") > 0, F.round(F.col("topc") / tot, 6))
-            .otherwise(F.lit(0.0))
-            .alias("top_ngram_frac"),
+    # run-length scan over the sorted array: top count = longest run
+    stats = (
+        f"transform(array(array_sort({ngrams})), g -> named_struct("
+        f"'total', size(g), "
+        f"'dist', size(array_distinct(g)), "
+        f"'topc', aggregate(g, "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        f"(ac, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', CASE WHEN x <=> ac.prev THEN ac.run + 1L ELSE 1L END, "
+        f"'best', greatest(ac.best, CASE WHEN x <=> ac.prev THEN ac.run + 1L "
+        f"ELSE 1L END)), "
+        f"ac -> ac.best)))[0]"
+    )
+    tot = F.col("st.total").cast("double")
+    return documents.select("doc_id", F.expr(stats).alias("st")).select(
+        "doc_id",
+        F.col("st.total").cast("long").alias("n_ngrams"),
+        F.when(
+            F.col("st.total") > 0,
+            F.round((F.col("st.total") - F.col("st.dist")) / tot, 6),
         )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+        F.when(F.col("st.total") > 0, F.round(F.col("st.topc") / tot, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_frac"),
     )
 
 
@@ -227,15 +241,22 @@ def decontaminate(documents: DataFrame, probes: DataFrame, k: int = 13) -> DataF
     ``probes`` is a (doc_id, text, ...) table of the protected documents
     (benchmark test sets). Plan shape: the probe shingle-hash set is
     DISTINCT (tiny — benchmarks are small relative to any training
-    corpus, so Catalyst/AQE broadcasts it), the corpus side is ONE
-    shingle pass semi-joined against it — never a corpus self-join, and
-    the corpus never shuffles its text: only 8-byte hashes move. Same
-    md5-60 shingles as the near-dup family, so the DuckDB oracle
-    reproduces every value (oracle_sql.decontaminate_sql)."""
-    probe_sh = shingle_hashes(probes, k=k).select("x").distinct()
+    corpus — and broadcast EXPLICITLY: size estimates after an aggregate
+    are unreliable, and a fallback sort-merge join would shuffle the
+    whole corpus shingle stream), the corpus side is ONE RAW shingle
+    pass semi-joined against it — the semi-join needs no per-doc set
+    semantics, so the former per-(doc_id, x) dedup exchange of the full
+    corpus stream is dropped outright; never a corpus self-join, and the
+    corpus never shuffles its text: only the post-semi-join doc_id hits
+    move. Same md5-60 shingles as the near-dup family, so the DuckDB
+    oracle reproduces every value (oracle_sql.decontaminate_sql)."""
+    probe_sh = (
+        _shingle_stream(probes, k).select(_md5_60("shingle").alias("x")).distinct()
+    )
     flagged = (
-        shingle_hashes(documents, k=k)
-        .join(probe_sh, "x", "left_semi")
+        _shingle_stream(documents, k)
+        .select("doc_id", _md5_60("shingle").alias("x"))
+        .join(F.broadcast(probe_sh), "x", "left_semi")
         .select("doc_id")
         .distinct()
     )
@@ -1379,21 +1400,41 @@ def lm_cross_entropy(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
         documents.select(F.explode(F.expr(tt)).alias("s"))
         .agg(F.countDistinct("s").alias("v"))
     )
-    scored = (
-        tf.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    # model-first join order: finish the (w1, w2)-keyed model — c2 ⋈ c1
+    # ⋈ broadcast V — BEFORE attaching it to the per-doc table, so the w1
+    # re-key shuffles only the distinct-bigram model rows, not the wider
+    # per-(doc, bigram) stream (the former tf ⋈ c2 ⋈ c1 order exchanged
+    # the full scored stream a second time, keyed by w1)
+    model = (
+        c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
-            "cnt",
+            "w1",
+            "w2",
             F.log(
                 (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("v"))
             ).alias("lp"),
         )
     )
+    scored = tf.join(model, ["w1", "w2"]).select("doc_id", "cnt", "lp")
+    # the Σ cnt·lp reduction sums as decimal(38,18): decimal addition is
+    # exact and therefore ORDER-INDEPENDENT, where the former double sum
+    # varied with partition/scheduling order and could flip a document
+    # sitting within an ulp of the 0.5e-6 rounding boundary run-to-run
+    # (the one red CORRECTNESS_r05 row). The cast truncates each term at
+    # 1e-18 — 6 orders below double's own ~1e-12 accumulated noise — and
+    # the exact sum is cast back to double so the division and 6-dp round
+    # match the oracle's expression shape bit-for-bit on every checked SF
+    # (gatecheck sf0.001/0.01/0.1; two-run byte-identity in test_docs).
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("cnt").alias("nb"),
-        F.round(-F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt"), 6).alias("ce"),
+        F.round(
+            -F.sum((F.col("cnt") * F.col("lp")).cast("decimal(38,18)")).cast(
+                "double"
+            )
+            / F.sum("cnt"),
+            6,
+        ).alias("ce"),
     )
     return documents.join(per_doc, "doc_id", "left").select(
         "doc_id",
@@ -1653,9 +1694,18 @@ def fingerprints(
     :func:`shingles`), then a per-document window-min — the window is
     PARTITION BY doc_id, so no cross-document shuffle beyond the initial
     hash-partition on doc_id; state per group is one doc's positions.
-    Documents shorter than ``k`` chars yield no rows (no k-grams exist);
-    docs with fewer than ``window`` k-grams yield the min of what exists
-    (one clipped window at pos 1) rather than vanishing.
+    The closing per-doc dedup reuses the window's HashPartitioning
+    (doc_id ⊆ the dedup keys), so the whole operator runs on ONE
+    exchange. (A fully row-local array formulation — hash array +
+    sliding array_min + array_distinct in one projection, zero
+    exchanges — was A/B'd at the 50k-doc bench slice and came out ~25%
+    SLOWER: higher-order-function lambdas are interpreted per element
+    while the explode+window path is whole-stage-codegen'd, and 55M
+    interpreted md5 evaluations cost more than the one exchange saves;
+    measured r06, kept here for the record.) Documents shorter than
+    ``k`` chars yield no rows (no k-grams exist); docs with fewer than
+    ``window`` k-grams yield the min of what exists (one clipped window
+    at pos 1) rather than vanishing.
     """
     if k < 1 or window < 1:
         raise ValueError(f"k ({k}) and window ({window}) must be ≥ 1")
@@ -1719,11 +1769,12 @@ def repeated_spans(
     text — far past any real document).
 
     Plan shape, and why it scales: one char-position explode (O(total
-    chars) rows — the same cost class as :func:`fingerprints`), a
-    map-side-combinable count-by-hash, then an inner join of positions
-    against the DUPLICATED hashes only (c ≥ 2 — typically a small
-    fraction, broadcast-able; never a pair self-join, so a boilerplate
-    k-gram shared by 10⁶ docs costs 10⁶ linear rows, not 10¹² pairs),
+    chars) rows — the same cost class as :func:`fingerprints`), ONE
+    h-keyed exchange feeding unbounded-frame window aggregates (count
+    and keep-key PARTITION BY h — never a pair self-join, so a
+    boilerplate k-gram shared by 10⁶ docs costs 10⁶ linear rows that
+    spill through the window buffer, not 10¹² pairs; the former
+    count-aggregate + join-back planned the explode+hash subtree twice),
     and a per-doc gaps-and-islands window (PARTITION BY doc_id — no
     cross-doc shuffle). With the default ``hasher='md5'`` every value is
     md5-60 (engine-neutral), so the whole operator has an exact DuckDB
@@ -1757,15 +1808,26 @@ def repeated_spans(
     )
     hashed = pos.select("doc_id", "pos", h.alias("h"))
     occ_key = F.col("doc_id") * F.lit(1 << 32) + F.col("pos")
-    stats = (
-        hashed.groupBy("h")
-        .agg(
-            F.count("*").alias("c"),
-            F.min(F.col("doc_id") * F.lit(1 << 32) + F.col("pos")).alias("keep_key"),
+    # ONE pass over the hashed positions: the per-hash occurrence count
+    # and keep-key as unbounded-frame window aggregates (PARTITION BY h)
+    # instead of a count-aggregate + join back. The join formulation
+    # planned the explode+hash subtree TWICE (the probe side feeds the
+    # join directly, so there is no exchange to reuse) — at the 50k-doc
+    # bench that was two full md5 passes over ~55M char positions and two
+    # h-keyed exchanges; the window needs one pass, one exchange, and a
+    # sort, and a boilerplate hash group spills (ExternalAppendOnly row
+    # buffer) rather than materializing O(occurrences) join rows twice.
+    wh = Window.partitionBy("h")
+    dup = (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(wh).alias("c"),
+            F.min(occ_key).over(wh).alias("keep_key"),
         )
         .filter(F.col("c") >= 2)
+        .select("doc_id", "pos", "keep_key")
     )
-    dup = hashed.join(stats, "h").select("doc_id", "pos", "keep_key")
     if keep == "first":
         dup = dup.filter(occ_key != F.col("keep_key"))
     w = Window.partitionBy("doc_id").orderBy("pos")

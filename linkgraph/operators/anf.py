@@ -64,7 +64,18 @@ def neighborhood_function(
     growth < ``rel_tol``) or ``max_h``. The returned curve is monotone
     by construction (each ball only grows and HLL union is exact on
     sketches). ``lg_config_k``: 2^k registers/vertex; relative standard
-    error ~= 1.04 / sqrt(2^k) (k=12 -> ~1.6%)."""
+    error ~= 1.04 / sqrt(2^k) (k=12 -> ~1.6%).
+
+    Systolic propagation (the HyperANF paper's own optimization, §4):
+    round h joins only the sketches that CHANGED in round h-1. If
+    sketch(w) was already folded into sketch(v) last round and did not
+    change since, re-unioning it is a register-wise no-op, so dropping
+    unchanged sources leaves every register — and therefore the curve —
+    bit-identical while the joined frontier shrinks geometrically once
+    balls saturate (the wcc.py worklist pattern). Change detection is a
+    byte compare of the serialized sketch (equal bytes ⇔ equal
+    registers); a small frontier is broadcast so late rounds never
+    shuffle the edge table at all."""
     edges = graph.edges.select("src", "dst")
     state = (
         graph.vertices()
@@ -75,22 +86,43 @@ def neighborhood_function(
     curve: list[tuple[int, float]] = [
         (0, float(graph.num_vertices))  # B(v,0) = {v}: N(0) = V exactly
     ]
+    changed = state  # round 0 created every sketch: all changed
+    n_changed = graph.num_vertices
+    # compact sketch ≈ 2^lg_k bytes (+ header); broadcast the frontier
+    # while its total stays well inside executor comfort (~48 MB)
+    bcast_rows = max(1, (48 << 20) // ((1 << lg_config_k) + 64))
     for h in range(1, max_h + 1):
-        contrib = edges.join(state, edges["dst"] == state["id"]).select(
+        fr = F.broadcast(changed) if n_changed <= bcast_rows else changed
+        contrib = edges.join(fr, edges["dst"] == fr["id"]).select(
             edges["src"].alias("id"), "sk"
         )
-        state = (
-            state.unionByName(contrib)
-            .groupBy("id")
-            .agg(F.hll_union_agg("sk").alias("sk"))
+        # per-destination partial union of the frontier's contributions
+        # (map-side combined), then one left join folds it into state
+        delta = contrib.groupBy("id").agg(F.hll_union_agg("sk").alias("dsk"))
+        merged = (
+            state.withColumnRenamed("sk", "old_sk")
+            .join(delta, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("dsk").isNull(), F.col("old_sk"))
+                .otherwise(F.hll_union("old_sk", "dsk"))
+                .alias("sk"),
+                "old_sk",
+            )
+            .select("id", "sk", (F.col("sk") != F.col("old_sk")).alias("chg"))
             .localCheckpoint(eager=False)
         )
-        nf = state.agg(
-            F.sum(F.hll_sketch_estimate("sk")).alias("nf")
-        ).collect()[0]["nf"]  # the round's single materializing action
+        row = merged.agg(
+            F.sum(F.hll_sketch_estimate("sk")).alias("nf"),
+            F.sum(F.col("chg").cast("long")).alias("nc"),
+        ).collect()[0]  # the round's single materializing action
+        nf = float(row["nf"])
+        n_changed = int(row["nc"] or 0)
+        state = merged.select("id", "sk")
+        changed = merged.filter("chg").select("id", "sk")
         prev = curve[-1][1]
-        curve.append((h, float(nf)))
-        if nf <= prev * (1.0 + rel_tol):
+        curve.append((h, nf))
+        if nf <= prev * (1.0 + rel_tol) or n_changed == 0:
             break
     return curve
 

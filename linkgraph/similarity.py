@@ -1191,9 +1191,15 @@ def ann_index_topk(
         cond = c if cond is None else (cond | c)
     base = index_df if index_df is not None else spark.read.parquet(path)
     idx = base.filter(cond)
-    if num_bands > 1:
-        idx = idx.dropDuplicates(["vec_id"])
     scored = _score_against(idx, q, score)
+    if num_bands > 1:
+        # dedup AFTER scoring: band-duplicate rows of a vector score
+        # identically (same embedding), so deduping (vec_id, sim) rows is
+        # value-identical to deduping the vectors — but exchanges 16-byte
+        # rows instead of the ~1 KB embedding rows (the _batch_topk
+        # lesson, back-ported to the per-query path: the pre-score dedup
+        # shuffled ~32 MB of vectors per query before the scorer ran)
+        scored = scored.dropDuplicates(["vec_id"])
     if exclude_vec_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_vec_id)
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
@@ -1233,6 +1239,15 @@ def pq_codebooks(
         .limit(codes_per_subspace)
         .collect()
     )
+    if len(rows) < codes_per_subspace:
+        # a silently smaller codebook K desyncs callers/oracles that were
+        # parameterized with codes_per_subspace (ADVICE r05 #3) — match
+        # the validation style of the other seed/centroid builders
+        raise ValueError(
+            f"pq_codebooks: embeddings has only {len(rows)} rows — fewer "
+            f"than codes_per_subspace ({codes_per_subspace}); shrink K or "
+            f"provide more vectors"
+        )
     rows.sort(
         key=lambda r: (
             hashlib.md5(str(r[id_col]).encode()).hexdigest(),
@@ -1751,10 +1766,16 @@ def brute_topk_batch(
             ids = pdf[id_col].to_numpy()
             sims[ids[:, None] == qid_arr[None, :]] = -np.inf  # self-rows
             kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            # threshold mask, not argpartition: keep EVERY row scoring
+            # >= the kk-th value so a 6-dp-rounded boundary tie with a
+            # smaller vec_id cannot be cut arbitrarily inside a batch
+            # before the tie-aware (sim desc, id asc) cuts below (the
+            # pq_index_topk_batch pattern; ADVICE r05 #1)
+            thr = -np.partition(-sims, kk - 1, axis=0)[kk - 1]  # (nq,)
             for qi in range(nq):
-                acc_ids[qi].append(ids[top[:, qi]])
-                acc_sims[qi].append(sims[top[:, qi], qi])
+                keep = sims[:, qi] >= thr[qi]
+                acc_ids[qi].append(ids[keep])
+                acc_sims[qi].append(sims[keep, qi])
         rows = []
         for qi in range(nq):
             if acc_ids[qi]:

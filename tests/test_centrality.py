@@ -465,3 +465,86 @@ def test_preferential_attachment_top_pairs(spark):
     ]
     assert got == want
     g.unpersist()
+
+
+def test_hyperanf_systolic_matches_full_propagation(spark):
+    """The r06 systolic frontier (changed-only sketch propagation) is
+    register-identical to naive full propagation — unioning an unchanged
+    neighbor sketch is a register-wise no-op. While sketches are in
+    coupon (exact-set) mode — ball size ≤ ~2^lg_k, which covers the whole
+    V=2048 gate configuration at the default lg_k=12 — the estimate is a
+    pure function of the coupon set, so the curves agree BIT-FOR-BIT. In
+    dense HLL mode the datasketches estimator also carries union-history
+    state, so there the curves agree only to sketch precision (asserted
+    at 1% below, lg_k=8)."""
+    from pyspark.sql import functions as F
+
+    edges_np, n = zipf_edges(n=400, m=3000)
+    g = make_graph(spark, edges_np, n)
+    got = neighborhood_function(g, max_h=16, lg_config_k=12)
+
+    # naive twin: full-state propagation every round (the pre-r06 form)
+    edges = g.edges.select("src", "dst")
+    def naive(lg_k: int):
+        state = (
+            g.vertices()
+            .groupBy("id")
+            .agg(F.hll_sketch_agg("id", lg_k).alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        want = [(0, float(n))]
+        for h in range(1, 17):
+            contrib = edges.join(state, edges["dst"] == state["id"]).select(
+                edges["src"].alias("id"), "sk"
+            )
+            state = (
+                state.unionByName(contrib)
+                .groupBy("id")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+                .localCheckpoint(eager=False)
+            )
+            nf = state.agg(
+                F.sum(F.hll_sketch_estimate("sk")).alias("nf")
+            ).collect()[0]["nf"]
+            prev = want[-1][1]
+            want.append((h, float(nf)))
+            if nf <= prev * 1.0001:
+                break
+        return want
+
+    assert got == naive(12)  # coupon mode: bit-for-bit
+
+    got8 = dict(neighborhood_function(g, max_h=16, lg_config_k=8))
+    want8 = dict(naive(8))  # dense HLL mode: sketch-precision agreement
+    for h in set(got8) & set(want8):  # saturation round may differ by one
+        assert got8[h] == pytest.approx(want8[h], rel=0.01)
+    assert abs(len(got8) - len(want8)) <= 1
+    g.unpersist()
+
+
+def test_adamic_adar_deterministic_across_partitionings(spark):
+    """The decimal(38,18) Σ 1/ln(d) reduction is exact, so the rounded aa
+    values cannot depend on partition count or scheduling order — run the
+    same graph at two parallelism levels and require identical rows."""
+    from linkgraph.graph import Graph
+    from linkgraph.operators import adamic_adar
+
+    edges_np, n = zipf_edges(n=200, m=1600)
+    outs = []
+    for parts in (2, 8):
+        g = Graph.from_edges(
+            spark,
+            spark.createDataFrame(
+                [(int(s), int(d)) for s, d in edges_np], "src long, dst long"
+            ),
+            num_vertices=n,
+            num_partitions=parts,
+        )
+        outs.append(
+            [
+                (r["a"], r["b"], r["cn"], r["aa"])
+                for r in adamic_adar(g, top_k=50, max_center_degree=None).collect()
+            ]
+        )
+        g.unpersist()
+    assert outs[0] == outs[1]

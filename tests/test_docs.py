@@ -1574,3 +1574,28 @@ def test_ngram_novelty_planted_duplicates(docs_df, spark):
     assert 0.0 < got[2]["novel_frac"] < 1.0
     # doc 4 ("tiny", shorter than k): its single short-shingle is unique
     assert got[4]["n_shingles"] == 1 and got[4]["novel_frac"] == 1.0
+
+
+def test_lm_cross_entropy_deterministic_across_partitionings(spark):
+    """The Σ cnt·lp reduction sums as decimal(38,18) (exact, commutative),
+    so cross_entropy cannot depend on partition count or scheduling order
+    — the order-dependent float sum behind the one red CORRECTNESS_r05
+    row. Same corpus at two parallelism levels → byte-identical output."""
+    from linkgraph import docs
+
+    rows = [
+        (i, " ".join(f"tok{(i * 17 + j * 5) % 23}" for j in range(40)))
+        for i in range(60)
+    ]
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            parts
+        )
+        outs.append(
+            sorted(
+                (r["doc_id"], r["n_bigrams"], r["cross_entropy"])
+                for r in docs.lm_cross_entropy(df).collect()
+            )
+        )
+    assert outs[0] == outs[1]

@@ -1194,13 +1194,19 @@ def _q_para_dedup(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER IS LOAD-BEARING: the driver's correctness gate records only the
-    # FIRST 50 keys (VERDICT r04 'Next round' #2). The first block holds one
-    # representative per operator FAMILY; the tail block holds variants that
-    # share an oracle or machinery with an in-window parent
+    # FIRST 50 keys (VERDICT r04 'Next round' #2). The base order below
+    # holds one representative per operator FAMILY first, then variants
+    # that share an oracle or machinery with a family parent
     # (wcc_large_small_star ≡ wcc, pagerank10_salted ≡ pagerank10,
-    # sssp_hops ≡ bfs, hyperanf ~ neighborhood6, …) — those stay correct
-    # via tools/gatecheck.py, which runs ALL keys.
-    return {
+    # sssp_hops ≡ bfs, hyperanf ~ neighborhood6, …). The returned dict is
+    # ROTATED by _WINDOW_SHIFT (VERDICT r05 'Next round' #4): each round
+    # advances the recorded 50-query window one block, so every family
+    # lands in a CORRECTNESS_rN artifact within 3 rounds instead of the
+    # tail 78 resting on tools/gatecheck.py alone (which still runs ALL
+    # keys). r06 ships shift=50 — its window is exactly the 50 queries
+    # no driver artifact has ever recorded; `hyperanf` (rows-only, no
+    # oracle by design) stays outside every window under this shift.
+    base = {
         # --- graph kernels (reference set + extensions), one per family
         "degrees": _q_degrees,
         "pagerank10": _q_pagerank10,
@@ -1352,6 +1358,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_alloc": _q_resource_alloc,
         "pref_attach": _q_pref_attach,
     }
+    names = list(base)
+    shift = _WINDOW_SHIFT % len(names)
+    return {k: base[k] for k in names[shift:] + names[:shift]}
+
+
+# Rotation schedule for the recorded correctness window (see queries()):
+# 0 covered base[0:50] through r05; 50 puts base[50:100] — never recorded
+# by any driver artifact — into the r06 window; the next rotation (100)
+# covers the remaining tail. Bump by 50 per round.
+_WINDOW_SHIFT = 50
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1204,7 +1204,14 @@ def dsir_log_weights(
             ).alias("term"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(F.round(F.sum("term"), 6).alias("logw"))
+    # decimal(38,18) sum: exact ⇒ order-independent (the lm_cross_entropy
+    # determinism discipline — this rounded Σ feeds dsir_resample's top-k
+    # cut line, where a scheduling-order ulp could flip the boundary)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("logw")
+    )
     return documents.join(per_doc, "doc_id", "left").select(
         "doc_id", F.coalesce("logw", F.lit(0.0)).alias("logw")
     )

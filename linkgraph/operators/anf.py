@@ -75,7 +75,18 @@ def neighborhood_function(
     balls saturate (the wcc.py worklist pattern). Change detection is a
     byte compare of the serialized sketch (equal bytes ⇔ equal
     registers); a small frontier is broadcast so late rounds never
-    shuffle the edge table at all."""
+    shuffle the edge table at all.
+
+    On low-diameter expanders the frontier stays full until global
+    saturation (measured on the 50M-edge Zipf bench graph: every sketch
+    changes every round, then all stop at once), so the gain there is
+    the saturated tail rounds only. Two further variants were A/B'd at
+    50M edges and REJECTED (r06): a dst-keyed sorted localCheckpoint of
+    the edge table (to spare the per-round edge exchange + sort) and a
+    shuffle_hash build of the sketch side — both measured slower
+    (min-of-2: 94.7 s / 107.1 s vs 63.5 s for this form; the one-time
+    50M-row checkpoint write plus its resident memory cost more than
+    the per-round int sort it saved)."""
     edges = graph.edges.select("src", "dst")
     state = (
         graph.vertices()

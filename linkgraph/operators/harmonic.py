@@ -115,7 +115,10 @@ def harmonic_centrality(
     h = (
         dists.filter(F.col("dist") > 0)
         .groupBy("id")
-        .agg(F.sum(1.0 / F.col("dist")).alias("h"))
+        # scaled-BIGINT exact sum (the linkpred discipline): ≤ |sources|
+        # reciprocal terms per vertex, summed order-independently so the
+        # 6-dp value cannot flip with scheduling order
+        .agg((F.sum(F.round(1e12 / F.col("dist")).cast("long")) / 1e12).alias("h"))
     )
     return (
         graph.vertices()

@@ -53,25 +53,6 @@ def _resolve_center_cap(
     return max(64, int(q[0])) if q else None
 
 
-def _wedge_partitions(deg: DataFrame, default: int) -> int:
-    """Scale-adaptive partition count for a wedge self-join: the join
-    emits Σ_{centers} d² rows — orders of magnitude more than the V-row
-    state ``spark.sql.shuffle.partitions`` is sized for (the bench's
-    gate section deliberately runs P=8 for 2048-row vertex states; the
-    uncapped gate wedge set is ~4×10⁸ rows). Partition for the WEDGE
-    volume: ~4M wedge rows per task, floored at the session default and
-    capped at 16× defaultParallelism so a hub-heavy degree profile
-    cannot demand unbounded task counts. One O(V)-input aggregate pays
-    for it (the 'auto' cap mode already runs an approxQuantile action
-    of the same cost class)."""
-    row = deg.agg(F.sum(F.col("d") * F.col("d")).alias("w2")).collect()[0]
-    w2 = int(row["w2"] or 0)
-    spark = deg.sparkSession
-    floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cap = 16 * spark.sparkContext.defaultParallelism
-    return min(max(w2 // 4_000_000 + 1, floor), max(cap, floor))
-
-
 def adamic_adar(
     graph: Graph,
     top_k: int = 50,
@@ -79,13 +60,17 @@ def adamic_adar(
 ) -> DataFrame:
     """Top-``top_k`` non-adjacent pairs (a < b) by Adamic-Adar score:
     (a, b, cn, aa) with aa rounded to 6 dp. Ordering is (rounded aa desc,
-    a, b) so the cut line is engine-stable. The per-pair Σ 1/ln(d) is
-    summed as decimal(38,18): decimal addition is exact, so the reduction
-    is ORDER-INDEPENDENT — the value no longer depends on partitioning or
-    scheduling order (the lm_score determinism class, VERDICT r05 #1),
-    which is also what makes the wedge-volume repartition below safe to
-    apply without perturbing any rounded 6-dp boundary run-to-run. The
-    top-k is a TakeOrdered, never a full sort."""
+    a, b) so the cut line is engine-stable. The per-pair Σ 1/ln(d) sums
+    each term rounded at the 12th decimal as a scaled BIGINT: integer
+    addition is exact, so the reduction is ORDER-INDEPENDENT — the value
+    cannot depend on partitioning or scheduling order (the lm_score
+    determinism class, VERDICT r05 #1) — at native codegen speed
+    (decimal(38,18) accumulation was A/B'd: exact too, but +40% on the
+    5×10⁸-row gate wedge aggregate). Term quantization error ≤ 5e-13·cn
+    — far below the 5e-7 rounding granularity for any plausible
+    common-neighbor count, and overflow needs cn > 6×10⁶ within ONE
+    pair, beyond any capped configuration. The top-k is a TakeOrdered,
+    never a full sort."""
     canon = graph.canonical_undirected_edges()  # (a < b), simple
     sym = canon.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
         canon.select(F.col("b").alias("w"), F.col("a").alias("x"))
@@ -107,8 +92,6 @@ def adamic_adar(
         .otherwise(F.lit(0.0))
         .alias("inv_ln_d"),
     )
-    # one exchange sized for the wedge volume feeds both self-join sides
-    sd = sd.repartition(_wedge_partitions(deg, graph.num_partitions), "w")
     s1 = sd.select("w", F.col("x").alias("a"), "inv_ln_d")
     s2 = sd.select("w", F.col("x").alias("b"))
     scored = (
@@ -118,7 +101,7 @@ def adamic_adar(
         .agg(
             F.count("*").alias("cn"),
             F.round(
-                F.sum(F.col("inv_ln_d").cast("decimal(38,18)")).cast("double"), 6
+                F.sum(F.round(F.col("inv_ln_d") * 1e12).cast("long")) / 1e12, 6
             ).alias("aa"),
         )
         .join(canon, ["a", "b"], "left_anti")
@@ -147,8 +130,6 @@ def jaccard_pairs(
     cap = _resolve_center_cap(deg, max_center_degree)
     centers = deg if cap is None else deg.filter(F.col("d") <= cap)
     sd = sym.join(centers.select("w"), "w")
-    # wedge-volume-sized exchange (see _wedge_partitions / adamic_adar)
-    sd = sd.repartition(_wedge_partitions(centers, graph.num_partitions), "w")
     s1 = sd.select("w", F.col("x").alias("a"))
     s2 = sd.select("w", F.col("x").alias("b"))
     pairs = (
@@ -199,8 +180,6 @@ def resource_allocation(
     sd = sym.join(deg, "w").select(
         "w", "x", (F.lit(1.0) / F.col("d")).alias("inv_d")
     )
-    # wedge-volume-sized exchange + exact decimal sum (see adamic_adar)
-    sd = sd.repartition(_wedge_partitions(deg, graph.num_partitions), "w")
     s1 = sd.select("w", F.col("x").alias("a"), "inv_d")
     s2 = sd.select("w", F.col("x").alias("b"))
     scored = (
@@ -210,7 +189,7 @@ def resource_allocation(
         .agg(
             F.count("*").alias("cn"),
             F.round(
-                F.sum(F.col("inv_d").cast("decimal(38,18)")).cast("double"), 6
+                F.sum(F.round(F.col("inv_d") * 1e12).cast("long")) / 1e12, 6
             ).alias("ra"),
         )
         .join(canon, ["a", "b"], "left_anti")

@@ -128,7 +128,18 @@ def triangle_count(
         tri = _closed_wedges(graph, degree_oriented)
         return tri.agg(F.count("*").alias("triangles"))
     oriented = _oriented_edges(graph, degree_oriented).select("u", "v")
-    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # neighbor ids as INT when the vertex space fits: the second
+    # adjacency join re-exchanges every edge row still carrying nbrs_u —
+    # the operator's one heavy shuffle, O(E·d̄) array bytes — and the
+    # count only needs intersection SIZE, so halving the element width
+    # halves that exchange (ids < 2³¹ cast losslessly; the join keys
+    # stay long)
+    nbr = (
+        F.col("v").cast("int")
+        if graph.num_vertices <= (1 << 31) - 1
+        else F.col("v")
+    )
+    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list(nbr)).alias("nbrs"))
     au = adj.select(F.col("u").alias("_u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("u").alias("_v"), F.col("nbrs").alias("nbrs_v"))
     per_edge = (

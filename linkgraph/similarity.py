@@ -532,11 +532,17 @@ def _assign_with_cents(
     method: str,
     id_col: str,
     vec_col: str,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assignment against PRECOMPUTED centroids — so callers that already
     hold the centroid list (write_ivf_index, Lloyd refinement) don't
-    re-derive it (deriving repeats every Lloyd iteration)."""
+    re-derive it (deriving repeats every Lloyd iteration). ``keep_vec``
+    carries the vector through as ``v`` (matmul only) so a consumer that
+    needs (vec_id, v, cid) gets it in the SAME projection instead of
+    joining the O(rows) assignment back onto the embeddings."""
     if method == "sql":
+        if keep_vec:
+            raise ValueError("keep_vec is only supported with method='matmul'")
         return _ivf_assign(
             embeddings, _centroid_df(embeddings.sparkSession, cents), id_col, vec_col
         )
@@ -552,9 +558,10 @@ def _assign_with_cents(
         norms[norms == 0.0] = 1.0
         return pd.Series(np.argmax((m / norms) @ cm_t, axis=1).astype(np.int64))
 
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), cell(F.col(vec_col)).alias("cid")
-    )
+    cols = [F.col(id_col).alias("vec_id")]
+    if keep_vec:
+        cols.append(F.col(vec_col).alias("v"))
+    return embeddings.select(*cols, cell(F.col(vec_col)).alias("cid"))
 
 
 # store layout for semantic_dedup (mirrors docs.dedup_clusters):
@@ -626,10 +633,12 @@ def semantic_dedup(
     from linkgraph.docs import _components_over_pairs
 
     latest = store.latest_iteration() if store is not None else None
+    # the fused path never materializes a standalone assignment table
+    fused = store is None and method == "matmul" and pair_method == "matmul"
 
     if latest is not None and latest >= _SEMDEDUP_ASSIGN_IT:
         assign = store.load(_SEMDEDUP_ASSIGN_IT)
-    else:
+    elif not fused:
         assign = ivf_assign(
             embeddings,
             num_centroids=num_centroids,
@@ -646,6 +655,35 @@ def semantic_dedup(
 
     if latest is not None and latest >= _SEMDEDUP_PAIRS_IT:
         pairs = store.load(_SEMDEDUP_PAIRS_IT)
+    elif fused:
+        # FUSED scale path (r06): compute (vec_id, v, cid) in the one
+        # Arrow projection — no O(rows) embeddings⋈assignment join, no
+        # eager checkpoint of the vector table (single consumer), and
+        # the cell-size cap rides a count window over the one cid
+        # exchange the per-cell gram stage needs anyway (its
+        # HashPartitioning(cid) satisfies the applyInPandas grouping, so
+        # the filter costs zero extra exchanges). Net: one exchange of
+        # the vector rows instead of three passes (assignment
+        # checkpoint + vec⋈assign join + group exchange) — A/B numbers
+        # in OPTIMIZATION_r06.md. The store path keeps the join shape —
+        # the committed assignment table is the resume point.
+        from pyspark.sql import Window
+
+        cents = ivf_centroids(
+            embeddings, num_centroids, lloyd_iters, id_col, vec_col, method=method
+        )
+        av = _assign_with_cents(
+            embeddings, cents, "matmul", id_col, vec_col, keep_vec=True
+        )
+        if max_cell_size is not None:
+            av = (
+                av.withColumn(
+                    "csz", F.count("*").over(Window.partitionBy("cid"))
+                )
+                .filter(F.col("csz") <= max_cell_size)
+                .drop("csz")
+            )
+        pairs = _cell_pairs_matmul(av, min_sim).localCheckpoint(eager=True)
     else:
         av = embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
